@@ -1,13 +1,36 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.{RawDoc, ExtractConfig}
+import graft.fixtures.Fixtures
+import graft.pipeline.Extract
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Deterministic interleaved-span documents derived from the driver's
+    * `documents` parquet: doc_id seeds the archetype fixture generator, so
+    * the same corpus regenerates identically at any scale (FIXTURES.md §5). */
+  def rawDocs(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[RawDoc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("string"))
+      .as[String]
+      .map(id => Fixtures.gen(Fixtures.docId(Fixtures.Archetypes(((id.hashCode % 5) + 5) % 5), id.toInt)))
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full extraction pipeline -> output span table. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = rawDocs(spark, "/root/testdata/sf0.001")
+    Extract.toSpansTable(Extract.extract(docs, ExtractConfig.default))
+      .toDF("doc_id", "spans")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ops.Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = ops.Queries.oracles
 }

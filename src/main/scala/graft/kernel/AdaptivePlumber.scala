@@ -1,0 +1,146 @@
+package graft.kernel
+
+import graft.model.Span
+
+/** The pdfplumber word engine
+  * (reference: smartextractor/adaptive_pdfplumber.py:14-155): multi-column
+  * probe on a chosen page -> word extraction -> silhouette-scored k selection
+  * over 1-D k-means of word x-centers -> separation sanity check -> per-column
+  * crop + reading-order join. First page only for the actual extraction
+  * (loop commented at adaptive_pdfplumber.py:26-29).
+  */
+object AdaptivePlumber {
+  val MinWordsLimit = 20 // adaptive_pdfplumber.py:16
+  val SilhouetteThreshold = 0.5 // adaptive_pdfplumber.py:17
+  val ColumnThreshold = 0.3 // adaptive_pdfplumber.py:18
+
+  final case class Word(text: String, x0: Double, x1: Double, top: Double) {
+    def center: Double = (x0 + x1) / 2
+  }
+
+  /** Word extraction from the derived char stream (the stand-in for
+    * page.extract_words(x_tolerance=3), adaptive_pdfplumber.py:61): words are
+    * maximal char runs not separated by a space char or an x-gap > 3. */
+  def extractWords(spans: Seq[Span]): Vector[Word] = {
+    val out = Vector.newBuilder[Word]
+    spans.sortBy(_.offset).filter(_.kind != "image").foreach { span =>
+      val chars = Parse.deriveChars(span)
+      var cur = Vector.empty[Parse.Char]
+      def flush(): Unit = {
+        val letters = cur.filter(_.text != " ")
+        if (letters.nonEmpty)
+          out += Word(letters.map(_.text).mkString, letters.map(_.x0).min, letters.map(_.x1).max, letters.head.top)
+        cur = Vector.empty
+      }
+      chars.foreach { ch =>
+        if (ch.text == " ") flush()
+        else if (cur.nonEmpty && ch.x0 - cur.last.x1 > 3.0) { flush(); cur = Vector(ch) }
+        else cur :+= ch
+      }
+      flush()
+    }
+    out.result()
+  }
+
+  /** Probe-page selection + text-strategy table probe
+    * (reference: adaptive_pdfplumber.py:33-46): n<=1 -> page 0; n<=4 ->
+    * ceil(n/2); else page 3. Truthy extract_table(vertical_strategy='text')
+    * means two-column. */
+  def isMultiColumnLayout(spansByPage: IndexedSeq[Seq[Span]]): Boolean = {
+    val numPages = spansByPage.length
+    if (numPages == 0) return false
+    var targetNum = 3
+    if (numPages <= 1) targetNum = 0
+    else if (numPages <= 4) targetNum = math.ceil(numPages / 2.0).toInt
+    if (targetNum >= numPages) return false
+    val lines = spansByPage(targetNum).sortBy(_.offset).filter(_.kind != "image").map(Parse.deriveLine)
+    Parse.extractTableTextStrategy(lines).exists(t => t.data.nonEmpty)
+  }
+
+  /** reference: adaptive_pdfplumber.py:20-30 — probe all pages, extract page 0. */
+  def extractText(spans: Seq[Span]): String = {
+    val pages = Parse.paginate(spans)
+    if (pages.isEmpty) return ""
+    val byPage = pages.map(_._2).toIndexedSeq
+    val doubleColumn = isMultiColumnLayout(byPage)
+    val maxColumns = if (doubleColumn) 2 else 1
+    extractFromMultiColumnAuto(pages.head._2, maxColumns)
+  }
+
+  /** Default single-column extraction: words sorted by (top, x0), joined by
+    * spaces within lines and newlines across lines — the stand-in for
+    * page.extract_text(x_tolerance=3, y_tolerance=3). */
+  def defaultExtractText(spans: Seq[Span]): String = {
+    val words = extractWords(spans)
+    if (words.isEmpty) return ""
+    words.sortBy(w => (w.top, w.x0))
+      .foldLeft((Vector.empty[String], Double.NaN)) { case ((acc, lastTop), w) =>
+        if (lastTop.isNaN) (acc :+ w.text, w.top)
+        else if (math.abs(w.top - lastTop) <= 3.0) (acc.init :+ (acc.last + " " + w.text), lastTop)
+        else (acc :+ w.text, w.top)
+      }._1.mkString("\n")
+  }
+
+  /** reference: adaptive_pdfplumber.py:49-155 */
+  def extractFromMultiColumnAuto(spans: Seq[Span], maxColumns: Int = 2): String = {
+    val words = extractWords(spans)
+    if (words.isEmpty || maxColumns < 2) return defaultExtractText(spans)
+    if (words.length < MinWordsLimit) return defaultExtractText(spans)
+
+    val xCenters = words.map(_.center).toIndexedSeq
+    val actualMaxColumns = math.min(maxColumns, xCenters.length - 1)
+
+    var scores = Map.empty[Int, Double]
+    if (actualMaxColumns >= 2) {
+      (2 to actualMaxColumns).foreach { k =>
+        val (labels, _) = Cluster.kmeans1D(xCenters, k)
+        if (labels.distinct.length > 1) scores += k -> Cluster.silhouette1D(xCenters, labels.toIndexedSeq)
+        else scores += k -> -1.0
+      }
+    }
+    var bestK = 1
+    if (scores.nonEmpty) {
+      // python max(scores, key=scores.get): first max in insertion order =
+      // ascending k here
+      bestK = (2 to actualMaxColumns).maxBy(k => scores(k))
+      if (scores(bestK) < SilhouetteThreshold) bestK = 1
+    }
+
+    if (bestK == 1) {
+      val sorted = words.sortBy(w => (w.top, w.x0))
+      return sorted.map(_.text).mkString(" ")
+    }
+
+    val (_, centersArr) = Cluster.kmeans1D(xCenters, bestK)
+    val columnCenters = centersArr.sorted
+    val minSeparation = Parse.PageWidth * ColumnThreshold
+    var wellSeparated = columnCenters.length > 1
+    var i = 0
+    while (i < columnCenters.length - 1 && wellSeparated) {
+      if (columnCenters(i + 1) - columnCenters(i) < minSeparation) wellSeparated = false
+      i += 1
+    }
+    if (!wellSeparated) {
+      val sorted = words.sortBy(w => (w.top, w.x0))
+      return sorted.map(_.text).mkString(" ")
+    }
+
+    val splitPoints = 0.0 +:
+      (0 until columnCenters.length - 1).map(i => (columnCenters(i) + columnCenters(i + 1)) / 2) :+
+      Parse.PageWidth
+    val columnsText = (0 until bestK).flatMap { c =>
+      val colWords = words.filter(w => w.center >= splitPoints(c) && w.center < splitPoints(c + 1))
+      if (colWords.isEmpty) None
+      else {
+        val text = colWords.sortBy(w => (w.top, w.x0))
+          .foldLeft((Vector.empty[String], Double.NaN)) { case ((acc, lastTop), w) =>
+            if (lastTop.isNaN) (acc :+ w.text, w.top)
+            else if (math.abs(w.top - lastTop) <= 3.0) (acc.init :+ (acc.last + " " + w.text), lastTop)
+            else (acc :+ w.text, w.top)
+          }._1.mkString("\n")
+        if (text.nonEmpty) Some(text) else None
+      }
+    }
+    columnsText.mkString("\n\n")
+  }
+}

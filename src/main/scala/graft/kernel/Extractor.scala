@@ -1,0 +1,169 @@
+package graft.kernel
+
+import graft.model._
+
+/** The per-document extraction pipeline: RawDoc -> DocResult.
+  * Pure Scala, zero Spark imports — the unit of work `mapPartitions` runs.
+  *
+  * Stage map versus the reference (SURVEY.md §3.1):
+  *   parse (pdf_processor.py:54-106) -> per-page pipeline (core.py:207-243)
+  *   -> merge (core.py:280-328) -> post-process (text_processor.py:19-44).
+  * The reference's ThreadPoolExecutor page fan-out (core.py:184-205)
+  * disappears: parallelism comes from Spark partitioning (and the skew path
+  * splits giant docs into per-page work units — pipeline.Extract).
+  */
+object Extractor {
+
+  /** Table cell normalization (reference: table_processor.py:38-72):
+    * row-major cells, is_header = (row == 0), zero bbox, drop empty tables. */
+  def processTableData(t: Parse.TableDict, pageNum: Int): Option[TableResult] = {
+    if (t.data.isEmpty || t.rows == 0 || t.cols == 0) None
+    else {
+      val cells = for {
+        (row, rowIdx) <- t.data.zipWithIndex
+        (cellText, colIdx) <- row.zipWithIndex
+        if cellText != null
+      } yield TableCell(cellText, rowIdx, colIdx, Seq(0d, 0d, 0d, 0d), 1.0, rowIdx == 0)
+      Some(TableResult(cells, t.rows, t.cols, Seq(0d, 0d, 0d, 0d), 1.0, pageNum))
+    }
+  }
+
+  /** Image normalization (reference: image_processor.py:38-55). media_ref is
+    * the reference's (always-empty) image_path — here it carries the input
+    * span's media_ref through. */
+  def processImageData(img: Parse.ImageDict, mediaRef: String, pageNum: Int): ImageResult =
+    ImageResult(media_ref = mediaRef, bbox = img.bbox, page_number = pageNum, image_type = img.imageType)
+
+  /** OCR gate (reference: core.py:267-278): no text objects, or total text
+    * length < 50. The OCR body is a stub returning no blocks
+    * (ocr_processor.py:45-55) — the gate is computed for parity and metrics. */
+  def needsOcr(textObjects: Seq[TextBlock]): Boolean =
+    textObjects.isEmpty || textObjects.map(b => if (b.text == null) 0 else b.text.length).sum < 50
+
+  /** Supported OCR languages (reference: ocr_processor.py:57-72). */
+  val SupportedOcrLanguages: Seq[String] = Seq("ch_sim", "en", "ja", "ko")
+
+  /** Per-page pipeline (reference: core.py:207-243): text blocks -> layout ->
+    * tables -> images -> OCR gate. pageNum is 1-based like the reference
+    * (core.py:171). */
+  def processSinglePage(pageData: Parse.PageData, pageNum: Int, imageRefs: Seq[String], cfg: ExtractConfig): PageResult = {
+    var page = PageResult(
+      page_number = pageNum,
+      width = pageData.width,
+      height = pageData.height,
+      text_blocks = pageData.textObjects)
+
+    if (cfg.enableLayoutDetection) page = Layout.process(page, cfg)
+
+    if (cfg.enableTableExtraction) {
+      page = page.copy(tables = pageData.tables.flatMap(processTableData(_, pageNum)))
+    }
+    if (cfg.enableImageProcessing) {
+      page = page.copy(images = pageData.images.zip(imageRefs).map { case (img, ref) =>
+        processImageData(img, ref, pageNum)
+      })
+    }
+    if (cfg.enableOcr && needsOcr(pageData.textObjects)) {
+      // OCR stub: gate fires, adds nothing (ocr_processor.py:45-55)
+    }
+    page
+  }
+
+  /** Document text assembly (reference: core.py:280-328): multi-column pages
+    * contribute ONE "\n"-joined element; single-column pages contribute one
+    * element PER non-empty block; elements joined "\n\n". */
+  def mergeResults(docId: String, pages: Seq[PageResult]): DocResult = {
+    val allText = pages.flatMap { page =>
+      if (page.column_processed) {
+        Seq(page.text_blocks.collect { case b if b.text != null && b.text.nonEmpty => b.text }.mkString("\n"))
+      } else {
+        page.text_blocks.collect { case b if b.text != null && b.text.nonEmpty => b.text }
+      }
+    }
+    val mergedText = allText.mkString("\n\n")
+    DocResult(
+      doc_id = docId,
+      text = mergedText,
+      pages = pages,
+      tables = pages.flatMap(_.tables),
+      images = pages.flatMap(_.images),
+      spans = Nil,
+      num_pages = pages.length)
+  }
+
+  /** Output span projection (SURVEY.md §1.4 ordering contract): per page —
+    * final text blocks in reading order, then tables in extraction order
+    * (one span per table; rows joined "\n", cells "\t"), then images; pages
+    * ascending; offset = 0-based position in the whole sequence. */
+  def projectSpans(result: DocResult): Seq[Span] = {
+    val out = Vector.newBuilder[Span]
+    var off = 0
+    result.pages.sortBy(_.page_number).foreach { page =>
+      page.text_blocks.foreach { b =>
+        out += Span("text", if (b.text == null) "" else b.text, "", off); off += 1
+      }
+      page.tables.foreach { t =>
+        val grid = t.cells.groupBy(_.row).toSeq.sortBy(_._1)
+          .map { case (_, cs) => cs.sortBy(_.col).map(_.text).mkString("\t") }
+          .mkString("\n")
+        out += Span("table", grid, "", off); off += 1
+      }
+      page.images.foreach { img =>
+        out += Span("image", "", img.media_ref, off); off += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Parse + per-page pipeline for one page's spans. Exposed separately so
+    * the skew path can run pages independently. */
+  def extractPage(pageNumber0: Int, spans: Seq[Span], cfg: ExtractConfig): PageResult = {
+    val pageData = Parse.parsePage(pageNumber0, spans, cfg)
+    val imageRefs = spans.sortBy(_.offset).filter(_.kind == "image")
+      .map(s => if (s.media_ref == null) "" else s.media_ref)
+    // reference numbers pages from 1 (core.py:171)
+    try processSinglePage(pageData, pageNumber0 + 1, imageRefs, cfg)
+    catch { case scala.util.control.NonFatal(_) => PageResult(page_number = pageNumber0 + 1) }
+  }
+
+  /** Doc-level finalize over already-extracted pages (ascending page order):
+    * merge + post-process + span projection. */
+  def finalizeDoc(docId: String, pages: Seq[PageResult], cfg: ExtractConfig): DocResult = {
+    var result = mergeResults(docId, pages)
+    if (cfg.enableTextCleaning) result = TextClean.postProcess(result, cfg)
+    // tables/images doc-level lists reflect final pages
+    result = result.copy(
+      tables = result.pages.flatMap(_.tables),
+      images = result.pages.flatMap(_.images))
+    result.copy(spans = projectSpans(result))
+  }
+
+  /** Full per-document pipeline with quarantine (the reference throws typed
+    * exceptions, core.py:111-116; on executors we quarantine instead —
+    * SURVEY.md §2.1 "File validation / pre-scan filter"). */
+  def extractDoc(doc: RawDoc, cfg: ExtractConfig = ExtractConfig.default): DocResult = {
+    try {
+      if (doc.doc_id == null) {
+        return DocResult("", "", Nil, Nil, Nil, Nil, 0, quarantined = true, error = "null doc_id")
+      }
+      val spans = if (doc.spans == null) Nil else doc.spans.filter(_ != null)
+      cfg.engine match {
+        case "fitz" =>
+          val text = AdaptiveFitz.extractText(spans)
+          DocResult(doc.doc_id, text, Nil, Nil, Nil,
+            Seq(Span("text", text, "", 0)), if (spans.isEmpty) 0 else 1)
+        case "plumber" =>
+          val text = AdaptivePlumber.extractText(spans)
+          DocResult(doc.doc_id, text, Nil, Nil, Nil,
+            Seq(Span("text", text, "", 0)), if (spans.isEmpty) 0 else 1)
+        case _ =>
+          val pages = Parse.paginate(spans).map { case (p, ss) => extractPage(p, ss, cfg) }
+          finalizeDoc(doc.doc_id, pages, cfg)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        DocResult(Option(doc.doc_id).getOrElse(""), "", Nil, Nil, Nil, Nil, 0,
+          quarantined = true, error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+    }
+  }
+}

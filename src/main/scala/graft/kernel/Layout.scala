@@ -1,0 +1,333 @@
+package graft.kernel
+
+import graft.model._
+
+/** Layout detection: titles, headers/footers, multi-column reordering.
+  * Re-expression of the reference's LayoutProcessor
+  * (reference: smartextractor/processors/layout_processor.py:13-600),
+  * preserving its thresholds, regex lists, tie-breaks and quirks exactly.
+  */
+object Layout {
+
+  /** Full layout pass over one page (reference: layout_processor.py:19-40).
+    * Note the reference gates BOTH title and header/footer detection on
+    * detect_headers (detect_footers is a dead knob, layout_processor.py:25-30). */
+  def process(page: PageResult, cfg: ExtractConfig): PageResult = {
+    var p = page
+    if (cfg.detectHeaders) p = detectTitles(p)
+    if (cfg.detectHeaders) p = detectHeadersFooters(p)
+    if (cfg.detectColumns) p = detectColumns(p)
+    p
+  }
+
+  /** Title detection: font_size > 14 (reference: layout_processor.py:42-49). */
+  def detectTitles(page: PageResult): PageResult =
+    page.copy(text_blocks = page.text_blocks.map { b =>
+      if (b.font_size.exists(_ > 14)) b.copy(block_type = "title") else b
+    })
+
+  // re.match anchors at the start only — encode as ^pattern with find()
+  // semantics via java's Matcher.lookingAt equivalent: we compile ^pattern
+  // and use .findFirstIn-like prefix match.
+  private def reMatch(pattern: String, text: String): Boolean =
+    java.util.regex.Pattern.compile(pattern).matcher(text).lookingAt()
+
+  /** Header content patterns (reference: layout_processor.py:107-121). */
+  val HeaderPatterns: Seq[String] = Seq(
+    "^\\d+$",
+    "^[A-Z][A-Z\\s]{1,50}$",
+    "^(Chapter|Section|Part)\\s+\\d+",
+    "^\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}$",
+    "^\\d{4}-\\d{2}-\\d{2}$",
+    "^[A-Z][A-Z\\s&]{1,30}$",
+    "^Header$"
+  )
+
+  /** Footer content patterns (reference: layout_processor.py:158-177). */
+  val FooterPatterns: Seq[String] = Seq(
+    "^\\d+$",
+    "^Page\\s+\\d+",
+    "^-\\s*\\d+\\s*-$",
+    "^\\d{1,2}[/-]\\d{1,2}[/-]\\d{2,4}$",
+    "^\\d{4}-\\d{2}-\\d{2}$",
+    "^©\\s*\\d{4}",
+    "^Copyright\\s+\\d{4}",
+    "^(Confidential|Internal|Draft)",
+    "^[A-Z]:\\\\",
+    "^/[a-zA-Z/]+$",
+    "^Footer$"
+  )
+
+  private def likelyBand(block: TextBlock, pageWidth: Double, patterns: Seq[String]): Boolean = {
+    if (block.text == null) return false
+    val text = block.text.trim
+    if (text.length < 2) return false
+    if (text.length > 200) return false
+    if (patterns.exists(reMatch(_, text))) return true
+    if (block.hasBBox) {
+      val center = (block.bbox(0) + block.bbox(2)) / 2
+      if (math.abs(center - pageWidth / 2) < pageWidth * 0.1) return true
+    }
+    if (block.font_size.exists(_ < 12)) return true
+    false
+  }
+
+  def isLikelyHeader(block: TextBlock, pageWidth: Double): Boolean =
+    likelyBand(block, pageWidth, HeaderPatterns)
+
+  def isLikelyFooter(block: TextBlock, pageWidth: Double): Boolean =
+    likelyBand(block, pageWidth, FooterPatterns)
+
+  /** Geometric band + content classification
+    * (reference: layout_processor.py:51-89). */
+  def detectHeadersFooters(page: PageResult): PageResult = {
+    val headerThreshold = page.height * 0.05
+    val footerThreshold = page.height * 0.95
+    page.copy(text_blocks = page.text_blocks.map { b =>
+      if (!b.hasBBox) b
+      else {
+        val yTop = b.bbox(1); val yBottom = b.bbox(3)
+        val blockHeight = yBottom - yTop
+        val blockWidth = b.bbox(2) - b.bbox(0)
+        if (blockHeight > page.height * 0.3 || blockWidth > page.width * 0.8) b
+        else if (yTop < headerThreshold && yBottom < headerThreshold * 2) {
+          if (isLikelyHeader(b, page.width)) b.copy(block_type = "header") else b
+        } else if (yBottom > footerThreshold && yTop > footerThreshold - headerThreshold) {
+          if (isLikelyFooter(b, page.width)) b.copy(block_type = "footer") else b
+        } else b
+      }
+    })
+  }
+
+  // ---------------------------------------------------------------------
+  // Column detection (three detectors + insertion-order majority vote)
+  // ---------------------------------------------------------------------
+
+  /** Detector 1: histogram + gap statistics over unique x0
+    * (reference: layout_processor.py:224-277). */
+  def analyzeColumnLayout(page: PageResult): Int = {
+    if (page.text_blocks.isEmpty) return 1
+    val xPositions = page.text_blocks.filter(b => b.bbox != null && b.bbox.length >= 2).map(_.bbox(0))
+    if (xPositions.isEmpty) return 1
+    if (page.width == 0) return 1
+    detectColumnsByClustering(xPositions, page.width)
+  }
+
+  def detectColumnsByClustering(xPositions: Seq[Double], pageWidth: Double): Int = {
+    if (xPositions.isEmpty) return 1
+    val uniqueX = xPositions.distinct.sorted
+    if (uniqueX.length < 2) return 1
+    val bins = math.min(20, uniqueX.length / 2 + 1)
+    val (hist, binEdges) = Cluster.histogram(uniqueX, bins, 0, pageWidth)
+    val avg = hist.sum.toDouble / hist.length
+    val gapBins = hist.indices.filter(i => hist(i) < avg * 0.4)
+    if (gapBins.nonEmpty) {
+      gapBins.foreach { i =>
+        val left = binEdges(i); val right = binEdges(i + 1)
+        if (left > pageWidth * 0.25 && right < pageWidth * 0.75) return 2
+      }
+    }
+    val gaps = (1 until uniqueX.length).map(i => uniqueX(i) - uniqueX(i - 1)).filter(_ > 20)
+    if (gaps.isEmpty) return 1
+    val avgGap = gaps.sum / gaps.length
+    val largeGaps = gaps.filter(g => g > avgGap * 1.1 || g > pageWidth * 0.2)
+    if (largeGaps.nonEmpty) math.max(1, math.min(estimateColumnCount(pageWidth, largeGaps), 4))
+    else 1
+  }
+
+  /** reference: layout_processor.py:279-297 */
+  def estimateColumnCount(pageWidth: Double, largeGaps: Seq[Double]): Int = {
+    if (largeGaps.isEmpty) return 1
+    val avgColumnGap = largeGaps.sum / largeGaps.length
+    if (avgColumnGap > pageWidth * 0.15) 2
+    else if (avgColumnGap > pageWidth * 0.08) 3
+    else 4
+  }
+
+  /** Detector 2: width heuristic + 2-means on x-centers
+    * (reference: layout_processor.py:467-493). */
+  def heuristicColumnDetection(page: PageResult): Int = {
+    if (page.text_blocks.isEmpty || page.width == 0) return 1
+    val withBox = page.text_blocks.filter(_.hasBBox)
+    val blockWidths = withBox.map(b => b.bbox(2) - b.bbox(0))
+    val xCenters = withBox.map(b => (b.bbox(0) + b.bbox(2)) / 2)
+    if (blockWidths.isEmpty) return 1
+    val avgBlockWidth = blockWidths.sum / blockWidths.length
+    val pageWidth = page.width
+    if (xCenters.length > 10) {
+      val (_, means) = Cluster.kmeans1D(xCenters.toIndexedSeq, 2)
+      if (means.length == 2 && math.abs(means(1) - means(0)) > pageWidth * 0.3) return 2
+    }
+    if (avgBlockWidth < pageWidth * 0.45) {
+      val estimated = (pageWidth / (avgBlockWidth * 1.1)).toInt
+      math.max(1, math.min(estimated, 4))
+    } else 1
+  }
+
+  /** Detector 3: 50px density grid (reference: layout_processor.py:495-558). */
+  def densityBasedColumnDetection(page: PageResult): Int = {
+    if (page.text_blocks.isEmpty || page.width == 0 || page.height == 0) return 1
+    val gridSize = 50
+    val cols = (page.width / gridSize).toInt + 1
+    val rows = (page.height / gridSize).toInt + 1
+    val density = Array.fill(rows, cols)(0L)
+    page.text_blocks.foreach { b =>
+      if (b.hasBBox) {
+        val x1 = b.bbox(0); val y1 = b.bbox(1); val x2 = b.bbox(2); val y2 = b.bbox(3)
+        val startCol = math.max(0, (x1 / gridSize).toInt)
+        val endCol = math.min(cols - 1, (x2 / gridSize).toInt)
+        val startRow = math.max(0, (y1 / gridSize).toInt)
+        val endRow = math.min(rows - 1, (y2 / gridSize).toInt)
+        val w = if (b.text != null && b.text.nonEmpty) b.text.length else 1
+        var r = startRow
+        while (r <= endRow) {
+          var c = startCol
+          while (c <= endCol) { density(r)(c) += w; c += 1 }
+          r += 1
+        }
+      }
+    }
+    analyzeDensityDistribution(density, cols)
+  }
+
+  /** reference: layout_processor.py:530-558 */
+  def analyzeDensityDistribution(density: Array[Array[Long]], cols: Int): Int = {
+    if (density.isEmpty) return 1
+    val columnDensities = (0 until cols).map(c => density.map(_(c)).sum)
+    if (columnDensities.isEmpty) return 1
+    val avg = columnDensities.sum.toDouble / columnDensities.length
+    val threshold = avg * 0.3
+    val high = columnDensities.count(_ > threshold)
+    if (high <= 1) 1 else if (high <= 2) 2 else if (high <= 3) 3 else 4
+  }
+
+  /** Majority vote over the three detectors; detector-1 wins ties through
+    * Counter insertion order (reference: layout_processor.py:450-465). */
+  def improveColumnDetection(page: PageResult): Int = {
+    if (page.text_blocks.isEmpty) return 1
+    val c1 = analyzeColumnLayout(page)
+    val c2 = heuristicColumnDetection(page)
+    val c3 = densityBasedColumnDetection(page)
+    Cluster.majorityVote(Seq(c1, c2, c3))
+  }
+
+  /** Equal-width column assignment by block center x; no-bbox blocks go to
+    * column 0; centers on/after the right edge also land in column 0 (the
+    * reference's loop default — layout_processor.py:299-334). */
+  def assignBlocksToColumns(page: PageResult, columnCount: Int): Vector[Vector[TextBlock]] = {
+    val columns = Array.fill(columnCount)(Vector.newBuilder[TextBlock])
+    val columnWidth = page.width / columnCount
+    val boundaries = (0 until columnCount).map(i => (i * columnWidth, (i + 1) * columnWidth))
+    val assigned = page.text_blocks.map { b =>
+      if (b.bbox == null || b.bbox.length < 2) {
+        val nb = b.copy(column_id = 0); columns(0) += nb; nb
+      } else {
+        val centerX = (b.bbox(0) + b.bbox(2)) / 2
+        var col = 0
+        var found = false
+        boundaries.zipWithIndex.foreach { case ((l, r), i) =>
+          if (!found && l <= centerX && centerX < r) { col = i; found = true }
+        }
+        val nb = b.copy(column_id = col); columns(col) += nb; nb
+      }
+    }
+    val _ = assigned
+    columns.map(_.result()).toVector
+  }
+
+  /** Per-column sort by y-top; missing bbox sorts as 0
+    * (reference: layout_processor.py:336-345). Stable, like Python sorted. */
+  def sortBlocksInColumns(columns: Seq[Seq[TextBlock]]): Vector[Vector[TextBlock]] =
+    columns.map(c => c.sortBy(b => if (b.hasBBox) b.bbox(1) else 0.0).toVector).toVector
+
+  /** Reading-order merge: k=2 row-by-row, k!=2 concatenate columns
+    * left-to-right (reference: layout_processor.py:347-366). */
+  def mergeColumnsInReadingOrder(sortedColumns: Seq[Seq[TextBlock]]): Vector[TextBlock] = {
+    if (sortedColumns.isEmpty) Vector.empty
+    else if (sortedColumns.length == 2) mergeColumnsRowByRow(sortedColumns)
+    else sortedColumns.flatten.toVector
+  }
+
+  /** Row-by-row merge for two columns: greedy 20px row anchors (first-seen
+    * wins), per row left-column blocks then right-column blocks, row sorted
+    * by x (reference: layout_processor.py:368-426). Blocks within 20px of two
+    * anchors are duplicated — a reference quirk we replicate. */
+  def mergeColumnsRowByRow(sortedColumns: Seq[Seq[TextBlock]]): Vector[TextBlock] = {
+    if (sortedColumns.length != 2) return Vector.empty
+    val left = sortedColumns(0)
+    val right = sortedColumns(1)
+    val rowTolerance = 20.0
+    val allY = (left ++ right).filter(_.hasBBox).map(_.bbox(1))
+    if (allY.isEmpty) return (left ++ right).toVector
+
+    // greedy unique rows, first-seen anchor wins (layout_processor.py:393-405)
+    var uniqueRows = Vector.empty[Double]
+    allY.sorted.foreach { y =>
+      if (!uniqueRows.exists(e => math.abs(y - e) <= rowTolerance)) uniqueRows :+= y
+    }
+    uniqueRows = uniqueRows.sorted
+
+    val out = Vector.newBuilder[TextBlock]
+    uniqueRows.foreach { rowY =>
+      val lb = left.filter(b => b.hasBBox && math.abs(b.bbox(1) - rowY) <= rowTolerance)
+      val rb = right.filter(b => b.hasBBox && math.abs(b.bbox(1) - rowY) <= rowTolerance)
+      val row = (lb ++ rb).sortBy(b => if (b.hasBBox) b.bbox(0) else 0.0)
+      out ++= row
+    }
+    out.result()
+  }
+
+  /** Multi-column detect + reorder (reference: layout_processor.py:198-222). */
+  def detectColumns(page: PageResult): PageResult = {
+    if (page.text_blocks.isEmpty || page.width == 0) return page
+    val columnCount = improveColumnDetection(page)
+    if (columnCount <= 1) return page
+    val columns = assignBlocksToColumns(page, columnCount)
+    val sortedCols = sortBlocksInColumns(columns)
+    val reordered = mergeColumnsInReadingOrder(sortedCols)
+    page.copy(text_blocks = reordered, column_processed = true)
+  }
+
+  /** Row grouping utility (reference: layout_processor.py:560-599): greedy
+    * over y-sorted blocks with a moving anchor; no-bbox blocks join the
+    * current row. */
+  def groupBlocksByRows(blocks: Seq[TextBlock]): Vector[Vector[TextBlock]] = {
+    if (blocks.isEmpty) return Vector.empty
+    val sorted = blocks.sortBy(b => if (b.hasBBox) b.bbox(1) else 0.0)
+    val rowTolerance = 20.0
+    var groups = Vector.empty[Vector[TextBlock]]
+    var currentRow = Vector.empty[TextBlock]
+    var currentY: Option[Double] = None
+    sorted.foreach { b =>
+      if (!b.hasBBox) currentRow :+= b
+      else {
+        val y = b.bbox(1)
+        currentY match {
+          case None => currentY = Some(y); currentRow = Vector(b)
+          case Some(cy) if math.abs(y - cy) <= rowTolerance => currentRow :+= b
+          case Some(_) =>
+            if (currentRow.nonEmpty) groups :+= currentRow
+            currentY = Some(y); currentRow = Vector(b)
+        }
+      }
+    }
+    if (currentRow.nonEmpty) groups :+= currentRow
+    groups
+  }
+
+  /** Reading-direction stub: always "ltr" (both branches of the reference
+    * return "ltr" — layout_processor.py:428-448). The CJK ratio is computed
+    * for parity. */
+  def detectReadingDirection(blocks: Seq[TextBlock]): String = {
+    if (blocks.isEmpty) return "ltr"
+    var chinese = 0L; var total = 0L
+    blocks.foreach { b =>
+      if (b.text != null) b.text.foreach { ch =>
+        total += 1
+        if (ch >= '一' && ch <= '鿿') chinese += 1
+      }
+    }
+    val _ = (chinese, total)
+    "ltr"
+  }
+}

@@ -1,0 +1,376 @@
+package graft.kernel
+
+import graft.model._
+
+/** Parse stage: raw interleaved spans -> per-page text objects / images /
+  * tables. This is the Spark-native analog of the reference's PDFProcessor
+  * (reference: smartextractor/processors/pdf_processor.py:48-423); the input
+  * is the driver-contract span stream instead of a PDF byte stream, with
+  * deterministic geometry derived from (offset, content) — see GEOMETRY
+  * comments and FIXTURES.md §2.
+  */
+object Parse {
+
+  /** One derived character: the kernel's analog of a pdfplumber char dict
+    * (reference: pdf_processor.py:161, chars carry text/x0/x1/top/bottom/
+    * fontname/size). */
+  final case class Char(
+      text: String,
+      x0: Double,
+      x1: Double,
+      top: Double,
+      bottom: Double,
+      fontname: String,
+      size: Double
+  )
+
+  /** Raw line with geometry (fitz-style line block, adaptive_pdfitz.py:64-74),
+    * kept for table detection and the adaptive engines. */
+  final case class Line(
+      text: String,
+      pageLine: Int,
+      x0: Double,
+      top: Double,
+      x1: Double,
+      bottom: Double,
+      fontname: String,
+      size: Double
+  )
+
+  final case class ImageDict(bbox: Seq[Double], width: Double, height: Double, imageType: String)
+  final case class TableDict(data: Seq[Seq[String]], rows: Int, cols: Int)
+
+  final case class PageData(
+      pageNumber: Int,
+      width: Double,
+      height: Double,
+      textObjects: Seq[TextBlock], // parser-level blocks (pre-layout)
+      lines: Seq[Line],
+      images: Seq[ImageDict],
+      tables: Seq[TableDict]
+  )
+
+  // ---------------------------------------------------------------------
+  // GEOMETRY: deterministic layout model (FIXTURES.md §2).
+  // The driver input schema carries no bbox, so geometry is derived from
+  // (offset, text content) with a fixed page template:
+  //   * page size 800x600 (tests/test_layout_processor.py:24-27 geometry)
+  //   * SpansPerPage = 24 raw spans per page; lineIdx = offset % 24
+  //   * line i: top = 2 + 25*i, bottom = top + 18 (header band: i = 0;
+  //     footer band: i = 23 — matches the 5% bands of
+  //     layout_processor.py:56-58)
+  //   * page 0 line 1 is the title slot: font 18 bold (title threshold >14,
+  //     layout_processor.py:46)
+  //   * x-advance: fixed char width 8pt from left margin 50; runs of >= 2
+  //     consecutive spaces are zero-char gaps (x advances, no char emitted) —
+  //     the stand-in for pdfplumber's missing whitespace glyphs; single
+  //     spaces are real space chars so word spacing survives in block text.
+  // ---------------------------------------------------------------------
+  val PageWidth = 800.0
+  val PageHeight = 600.0
+  val SpansPerPage = 24
+  val CharWidth = 8.0
+  val LeftMargin = 50.0
+  val LineAdvance = 25.0
+  val LineHeight = 18.0
+  val TitleLineHeight = 22.0
+
+  def pageOf(offset: Int): Int = offset / SpansPerPage
+  def lineIdxOf(offset: Int): Int = offset % SpansPerPage
+
+  def isTitleSlot(offset: Int): Boolean = pageOf(offset) == 0 && lineIdxOf(offset) == 1
+
+  def fontOf(offset: Int): (String, Double) =
+    if (isTitleSlot(offset)) ("Helvetica-Bold", 18.0) else ("Helvetica", 12.0)
+
+  def lineGeom(offset: Int): (Double, Double) = { // (top, bottom)
+    val i = lineIdxOf(offset)
+    val top = 2.0 + LineAdvance * i
+    val h = if (isTitleSlot(offset)) TitleLineHeight else LineHeight
+    (top, top + h)
+  }
+
+  /** Derive the char stream of one text span. Runs of >=2 spaces become
+    * x-gaps (no chars); single spaces are space chars. */
+  def deriveChars(span: Span): IndexedSeq[Char] = {
+    val text = if (span.text == null) "" else span.text
+    val (fontname, size) = fontOf(span.offset)
+    val (top, bottom) = lineGeom(span.offset)
+    val out = Vector.newBuilder[Char]
+    var pos = 0 // char-grid position (spaces advance it too)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == ' ') {
+        // measure the space run
+        var j = i
+        while (j < n && text.charAt(j) == ' ') j += 1
+        val runLen = j - i
+        if (runLen >= 2) { pos += runLen } // gap: advance x, emit nothing
+        else {
+          val x0 = LeftMargin + pos * CharWidth
+          out += Char(" ", x0, x0 + CharWidth, top, bottom, fontname, size)
+          pos += 1
+        }
+        i = j
+      } else {
+        val x0 = LeftMargin + pos * CharWidth
+        out += Char(c.toString, x0, x0 + CharWidth, top, bottom, fontname, size)
+        pos += 1
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Line-level geometry for a text span (bbox across its chars; empty spans
+    * get a degenerate bbox at the line origin). */
+  def deriveLine(span: Span): Line = {
+    val chars = deriveChars(span)
+    val (fontname, size) = fontOf(span.offset)
+    val (top, bottom) = lineGeom(span.offset)
+    if (chars.isEmpty) Line(if (span.text == null) "" else span.text, lineIdxOf(span.offset), LeftMargin, top, LeftMargin, bottom, fontname, size)
+    else Line(if (span.text == null) "" else span.text, lineIdxOf(span.offset),
+      chars.map(_.x0).min, top, chars.map(_.x1).max, bottom, fontname, size)
+  }
+
+  /** Image geometry: images occupy their line slot, x 100..500.
+    * (Analog of pdfplumber page.images bboxes, pdf_processor.py:289-306.) */
+  def deriveImage(span: Span): ImageDict = {
+    val (top, _) = lineGeom(span.offset)
+    val bottom = top + LineHeight
+    ImageDict(Seq(100.0, top, 500.0, bottom), 400.0, LineHeight, "image")
+  }
+
+  // ---------------------------------------------------------------------
+  // Char grouping + column split (reference: pdf_processor.py:234-412)
+  // ---------------------------------------------------------------------
+
+  /** Group chars by running (fontname, size, top) key change — consecutive-run
+    * segmentation, not a global groupBy (reference: pdf_processor.py:234-257). */
+  def groupCharsByFont(chars: Seq[Char]): Vector[Vector[Char]] = {
+    val groups = Vector.newBuilder[Vector[Char]]
+    var current = Vector.empty[Char]
+    var currentKey: (String, Double, Double) = null
+    chars.foreach { ch =>
+      val key = (ch.fontname, ch.size, ch.top)
+      if (currentKey != key && current.nonEmpty) {
+        groups += current
+        current = Vector.empty
+      }
+      currentKey = key
+      current :+= ch
+    }
+    if (current.nonEmpty) groups += current
+    groups.result()
+  }
+
+  val Connectors: Seq[String] =
+    Seq("and", "or", "but", "however", "therefore", "thus", "hence")
+
+  /** Split one line's chars into column groups on large x-gaps, with the
+    * reference's single-gap guards (gap >= 20% width, >= 2 chars and >= 3
+    * text chars per side, connector-word veto for short sentences).
+    * (reference: pdf_processor.py:329-412, min_gap_ratio = 0.15) */
+  def splitLineByColumns(charsIn: Seq[Char], pageWidth: Double, minGapRatio: Double = 0.15): Vector[Vector[Char]] = {
+    if (charsIn.isEmpty) return Vector.empty
+    val chars = charsIn.sortBy(_.x0).toVector
+    if (chars.length <= 3) return Vector(chars)
+
+    val gaps = (1 until chars.length).map(i => chars(i).x0 - chars(i - 1).x1)
+    val minGap = pageWidth * minGapRatio
+    val largeGaps = gaps.zipWithIndex.collect { case (g, idx) if g > minGap => (idx, g) }
+    if (largeGaps.isEmpty) return Vector(chars)
+
+    if (largeGaps.length == 1) {
+      val (gapIdx, gapSize) = largeGaps.head
+      if (gapSize < pageWidth * 0.20) return Vector(chars)
+      val left = chars.take(gapIdx + 1)
+      val right = chars.drop(gapIdx + 1)
+      if (left.length < 2 || right.length < 2) return Vector(chars)
+      val leftText = left.map(_.text).mkString.trim
+      val rightText = right.map(_.text).mkString.trim
+      if (leftText.length < 3 || rightText.length < 3) return Vector(chars)
+      val combined = (leftText + " " + rightText).toLowerCase
+      // reference uses substring containment ('or' matches inside 'for') —
+      // replicated deliberately (pdf_processor.py:391)
+      if (Connectors.exists(combined.contains) && combined.length < 100) return Vector(chars)
+    }
+
+    val splitIndices = 0 +: gaps.zipWithIndex.collect { case (g, idx) if g > minGap => idx + 1 } :+ chars.length
+    splitIndices.sliding(2).map { case Seq(a, b) => chars.slice(a, b) }.filter(_.nonEmpty).toVector
+  }
+
+  /** Bbox union over a char group (reference: pdf_processor.py:259-269). */
+  def calculateBBox(chars: Seq[Char]): Seq[Double] = {
+    if (chars.isEmpty) Seq(0d, 0d, 0d, 0d)
+    else Seq(chars.map(_.x0).min, chars.map(_.top).min, chars.map(_.x1).max, chars.map(_.bottom).max)
+  }
+
+  final case class FontInfo(size: Option[Double], fontname: Option[String], isBold: Boolean, isItalic: Boolean)
+
+  /** Font info from the first char of a group (reference: pdf_processor.py:271-287). */
+  def extractFontInfo(ch: Char): FontInfo = {
+    val fn = Option(ch.fontname).getOrElse("").toLowerCase
+    FontInfo(Some(ch.size), Option(ch.fontname), fn.contains("bold"), fn.contains("italic") || fn.contains("oblique"))
+  }
+
+  /** Full text-object extraction for one page's chars: line grouping ->
+    * per-line column split -> blank filter -> bbox/font projection ->
+    * over-wide block 2-means split (reference: pdf_processor.py:156-232). */
+  def extractTextObjects(pageChars: Seq[Char], pageWidth: Double): Vector[TextBlock] = {
+    val out = Vector.newBuilder[TextBlock]
+    val charGroups = groupCharsByFont(pageChars)
+    charGroups.foreach { group =>
+      if (group.nonEmpty) {
+        val columnGroups = splitLineByColumns(group, pageWidth)
+        columnGroups.foreach { colGroup =>
+          val text = colGroup.map(_.text).mkString
+          if (text.trim.nonEmpty) {
+            val bbox = calculateBBox(colGroup)
+            val fontInfo = extractFontInfo(colGroup.head)
+            val blockWidth = bbox(2) - bbox(0)
+            var emittedSplit = false
+            if (blockWidth > pageWidth * 0.60 && colGroup.length > 10) {
+              // over-wide block: deterministic 1-D 2-means on char x0
+              // (reference uses KMeans(2, random_state=0), pdf_processor.py:186-220)
+              val xs = colGroup.map(_.x0)
+              val (labels, _) = Cluster.kmeans1D(xs, 2)
+              val c0 = colGroup.zip(labels).collect { case (c, 0) => c }
+              val c1 = colGroup.zip(labels).collect { case (c, 1) => c }
+              def mean(cs: Seq[Char]): Double = if (cs.isEmpty) 0.0 else cs.map(_.x0).sum / cs.length
+              val (leftChars, rightChars) = if (mean(c0) > mean(c1)) (c1, c0) else (c0, c1)
+              emittedSplit = true
+              Seq(leftChars, rightChars).foreach { sub =>
+                if (sub.length >= 3) {
+                  val subBBox = calculateBBox(sub)
+                  val subFont = extractFontInfo(sub.head)
+                  out += TextBlock(
+                    text = sub.map(_.text).mkString,
+                    bbox = subBBox,
+                    font_size = subFont.size,
+                    font_family = subFont.fontname,
+                    is_bold = subFont.isBold,
+                    is_italic = subFont.isItalic)
+                }
+              }
+            }
+            if (!emittedSplit) {
+              out += TextBlock(
+                text = text,
+                bbox = bbox,
+                font_size = fontInfo.size,
+                font_family = fontInfo.fontname,
+                is_bold = fontInfo.isBold,
+                is_italic = fontInfo.isItalic)
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------------
+  // Table detection (from-scratch analog of pdfplumber's extract_tables,
+  // consumed at pdf_processor.py:308-327). Two strategies:
+  //   * "lines" (default): ruling-line grids — consecutive lines whose text
+  //     is pipe-delimited ('|' as the drawn vertical ruling); >= 2 rows and
+  //     >= 2 columns.
+  //   * "text": whitespace-alignment grids — >= 2 consecutive lines with the
+  //     same >= 2 cell-start positions (within 1 char) when split on runs of
+  //     >= 2 spaces. Used by the layout probe
+  //     (adaptive_pdfplumber.py:41, vertical_strategy='text').
+  // ---------------------------------------------------------------------
+
+  private def pipeCells(text: String): Option[Vector[String]] = {
+    val t = if (text == null) "" else text
+    val trimmed = t.trim
+    if (trimmed.length >= 2 && trimmed.startsWith("|") && trimmed.endsWith("|") && trimmed.count(_ == '|') >= 3) {
+      val inner = trimmed.substring(1, trimmed.length - 1)
+      Some(inner.split("\\|", -1).map(_.trim).toVector)
+    } else None
+  }
+
+  private def isRuleLine(text: String): Boolean = {
+    val t = if (text == null) "" else text.trim
+    t.nonEmpty && t.forall(c => c == '-' || c == '+' || c == '=' || c == '|')
+  }
+
+  /** Ruling-line table extraction over a page's raw text lines (in stream
+    * order). Separator-only lines (---+---) delimit nothing but are absorbed. */
+  def extractTablesLines(lineTexts: Seq[String]): Vector[TableDict] = {
+    val out = Vector.newBuilder[TableDict]
+    var rows = Vector.empty[Vector[String]]
+    def flush(): Unit = {
+      if (rows.length >= 2 && rows.head.length >= 2) {
+        out += TableDict(rows, rows.length, rows.head.length)
+      }
+      rows = Vector.empty
+    }
+    lineTexts.foreach { t =>
+      if (isRuleLine(t)) () // ruling separators (---+---, |---|) are absorbed
+      else pipeCells(t) match {
+        case Some(cells) => rows :+= cells
+        case None => flush()
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Whitespace-grid (text-alignment) table detection: the "text" vertical
+    * strategy. Returns the first detected grid (pdfplumber's extract_table
+    * returns one), or None. */
+  def extractTableTextStrategy(lines: Seq[Line], tolChars: Int = 1): Option[TableDict] = {
+    def cellStarts(text: String): Vector[(Int, String)] = {
+      val t = if (text == null) "" else text
+      val re = "[^ ](?:[^ ]| (?! ))*".r // runs of non-space (single spaces allowed inside)
+      re.findAllMatchIn(t).map(m => (m.start, m.matched.trim)).toVector
+    }
+    val parsed = lines.map(l => cellStarts(l.text))
+    var i = 0
+    while (i < parsed.length) {
+      val cur = parsed(i)
+      if (cur.length >= 2) {
+        var j = i + 1
+        var ok = true
+        while (j < parsed.length && ok) {
+          val nxt = parsed(j)
+          ok = nxt.length == cur.length &&
+            nxt.map(_._1).zip(cur.map(_._1)).forall { case (a, b) => math.abs(a - b) <= tolChars }
+          if (ok) j += 1
+        }
+        if (j - i >= 2) {
+          val rows = (i until j).map(r => parsed(r).map(_._2)).toVector
+          return Some(TableDict(rows, rows.length, rows.head.length))
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  // ---------------------------------------------------------------------
+  // Page assembly
+  // ---------------------------------------------------------------------
+
+  /** Parse one page's spans (offset-ordered, all on the same page). */
+  def parsePage(pageNumber: Int, spans: Seq[Span], cfg: ExtractConfig): PageData = {
+    val sorted = spans.sortBy(_.offset)
+    val textSpans = sorted.filter(s => s.kind == null || s.kind != "image")
+    val imageSpans = sorted.filter(s => s.kind == "image")
+
+    val pageChars = textSpans.flatMap(deriveChars)
+    val textObjects = extractTextObjects(pageChars, PageWidth)
+    val lines = textSpans.map(deriveLine).filter(_.text.trim.nonEmpty)
+    val images = imageSpans.map(deriveImage)
+    val tables = extractTablesLines(textSpans.map(s => if (s.text == null) "" else s.text))
+    PageData(pageNumber, PageWidth, PageHeight, textObjects, lines.toVector, images.toVector, tables)
+  }
+
+  /** Split a doc's spans into offset-ordered pages. */
+  def paginate(spans: Seq[Span]): Vector[(Int, Vector[Span])] =
+    spans.groupBy(s => pageOf(s.offset)).toVector.sortBy(_._1).map { case (p, ss) => (p, ss.sortBy(_.offset).toVector) }
+}

@@ -1,0 +1,614 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract query registry: one entry per implemented operator
+  * (SURVEY.md §2) plus the training-data operators, each with a
+  * DuckDB-equivalent oracle where SQL-expressible.
+  *
+  * Conventions for oracle parity:
+  *   - every aggregate/computed column aliased identically on both sides
+  *   - double sums of 2-decimal money rounded to 2 decimals (grid-exact)
+  *   - DuckDB sum(INTEGER) returns HUGEINT -> oracles cast to BIGINT
+  *   - timestamps surfaced as epoch microseconds (BIGINT) to dodge
+  *     engine-specific parquet timestamp encodings
+  */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def doc(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  // -------------------------------------------------------------------
+  // Extraction engine queries (kernel; non-SQL-expressible -> no oracle)
+  // -------------------------------------------------------------------
+
+  private val qExtractSpans: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val docs = graft.SparkEntry.rawDocs(spark, sfDir)
+    graft.pipeline.Extract.extract(docs)
+      .filter(!_.quarantined)
+      .map(r => (r.doc_id, r.spans.length, r.num_pages, r.text.length))
+      .toDF("doc_id", "n_spans", "n_pages", "text_len")
+  }
+
+  private val qExtractSkewAware: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val docs = graft.SparkEntry.rawDocs(spark, sfDir)
+    graft.pipeline.Extract.extractSkewAware(docs, skewSpanThreshold = 8 * graft.kernel.Parse.SpansPerPage)
+      .filter(!_.quarantined)
+      .map(r => (r.doc_id, r.spans.length, r.num_pages, r.text.length))
+      .toDF("doc_id", "n_spans", "n_pages", "text_len")
+  }
+
+  private val qAdaptiveEngines: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val docs = graft.SparkEntry.rawDocs(spark, sfDir)
+    val fitz = graft.pipeline.Extract.extract(docs, graft.model.ExtractConfig.default.copy(engine = "fitz"))
+      .map(r => (r.doc_id, "fitz", r.text.length)).toDF("doc_id", "engine", "text_len")
+    val plumber = graft.pipeline.Extract.extract(docs, graft.model.ExtractConfig.default.copy(engine = "plumber"))
+      .map(r => (r.doc_id, "plumber", r.text.length)).toDF("doc_id", "engine", "text_len")
+    fitz.unionByName(plumber)
+  }
+
+  // -------------------------------------------------------------------
+  // SQL-expressible extraction operators (Catalyst; DuckDB oracle)
+  // -------------------------------------------------------------------
+
+  /** Title predicate (layout_processor.py:42-49) over a derived font size. */
+  private val qTitleClassify: Q = (spark, sfDir) => {
+    val fontSize = lit(10) + col("doc_id") % 10
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      fontSize.as("font_size"),
+      when(fontSize > 14, "title").otherwise("text").as("block_type"))
+  }
+  private val oTitleClassify =
+    """SELECT doc_id, 10 + doc_id % 10 AS font_size,
+      |CASE WHEN 10 + doc_id % 10 > 14 THEN 'title' ELSE 'text' END AS block_type
+      |FROM documents""".stripMargin
+
+  /** Header/footer geometric band predicate (layout_processor.py:51-89)
+    * over derived geometry. */
+  private val qBandClassify: Q = (spark, sfDir) => {
+    val yTop = (col("doc_id") % 40) * 15.0
+    val yBottom = yTop + 18.0
+    val h = lit(600.0)
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      yTop.as("y_top"),
+      when(yTop < h * 0.05 && yBottom < h * 0.10, "header")
+        .when(yBottom > h * 0.95 && yTop > h * 0.90, "footer")
+        .otherwise("text").as("band"))
+  }
+  private val oBandClassify =
+    """SELECT doc_id, CAST(doc_id % 40 AS DOUBLE) * 15.0 AS y_top,
+      |CASE WHEN CAST(doc_id % 40 AS DOUBLE) * 15.0 < 30.0 AND CAST(doc_id % 40 AS DOUBLE) * 15.0 + 18.0 < 60.0 THEN 'header'
+      |     WHEN CAST(doc_id % 40 AS DOUBLE) * 15.0 + 18.0 > 570.0 AND CAST(doc_id % 40 AS DOUBLE) * 15.0 > 540.0 THEN 'footer'
+      |     ELSE 'text' END AS band
+      |FROM documents""".stripMargin
+
+  /** Footer regex classifier (layout_processor.py:158-181) as rlike, applied
+    * to synthesized footer-ish strings so every pattern branch fires. */
+  private val qFooterRegex: Q = (spark, sfDir) => {
+    val t = when(col("doc_id") % 5 === 0, concat(lit("Page "), col("doc_id")))
+      .when(col("doc_id") % 5 === 1, col("doc_id").cast("string"))
+      .when(col("doc_id") % 5 === 2, concat(lit("Copyright "), lit(2020) + col("doc_id") % 6))
+      .when(col("doc_id") % 5 === 3, lit("Confidential draft"))
+      .otherwise(concat(lit("body text "), col("doc_id")))
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      t.as("t"),
+      (t.rlike("^Page\\s+\\d+") || t.rlike("^\\d+$") || t.rlike("^Copyright\\s+\\d{4}") ||
+        t.rlike("^(Confidential|Internal|Draft)")).as("is_footer"))
+  }
+  private val oFooterRegex =
+    """WITH s AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 'Page ' || doc_id
+      |       WHEN doc_id % 5 = 1 THEN CAST(doc_id AS VARCHAR)
+      |       WHEN doc_id % 5 = 2 THEN 'Copyright ' || (2020 + doc_id % 6)
+      |       WHEN doc_id % 5 = 3 THEN 'Confidential draft'
+      |       ELSE 'body text ' || doc_id END AS t FROM documents)
+      |SELECT doc_id, t,
+      |  (regexp_matches(t, '^Page\s+\d+') OR regexp_matches(t, '^\d+$')
+      |   OR regexp_matches(t, '^Copyright\s+\d{4}')
+      |   OR regexp_matches(t, '^(Confidential|Internal|Draft)')) AS is_footer
+      |FROM s""".stripMargin
+
+  /** OCR gate (core.py:267-278): text length < 50. */
+  private val qOcrGate: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      (length(col("text")) < 50).as("needs_ocr"))
+  private val oOcrGate =
+    "SELECT doc_id, length(text) < 50 AS needs_ocr FROM documents"
+
+  /** Text cleaning (text_processor.py:60-68) as a Catalyst expression. */
+  private val qTextClean: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.cleanLines(col("text")).as("clean_text"))
+  private val oTextClean =
+    """SELECT doc_id,
+      |array_to_string(list_transform(string_split(text, chr(10)),
+      |  l -> regexp_replace(trim(l), '\s+', ' ', 'g')), chr(10)) AS clean_text
+      |FROM documents""".stripMargin
+
+  /** Bbox union aggregation (pdf_processor.py:259-269): min/max over a
+    * derived per-doc coordinate group. */
+  private val qBBoxUnion: Q = (spark, sfDir) =>
+    tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        (col("l_partkey") % 800).cast("double").as("x0"),
+        (col("l_suppkey") % 600).cast("double").as("top"))
+      .groupBy("l_orderkey")
+      .agg(
+        min("x0").as("bx0"), min("top").as("by0"),
+        max("x0").as("bx1"), max("top").as("by1"),
+        count(lit(1)).as("n"))
+  private val oBBoxUnion =
+    """SELECT l_orderkey,
+      |min(CAST(l_partkey % 800 AS DOUBLE)) AS bx0, min(CAST(l_suppkey % 600 AS DOUBLE)) AS by0,
+      |max(CAST(l_partkey % 800 AS DOUBLE)) AS bx1, max(CAST(l_suppkey % 600 AS DOUBLE)) AS by1,
+      |count(*) AS n
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
+  /** Gaps-and-islands run segmentation (pdf_processor.py:234-257 pattern):
+    * change-flag + running sum over an ordered stream. */
+  private val qRunSegments: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    tbl(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull ||
+          lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("segment_id", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "event_type", "segment_id")
+  }
+  private val oRunSegments =
+    """WITH flagged AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+      |          OR lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events)
+      |SELECT event_id, user_id, event_type,
+      |  CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment_id
+      |FROM flagged""".stripMargin
+
+  /** Column assignment bucketing (layout_processor.py:299-334):
+    * floor(center / column_width) clamped. */
+  private val qColumnAssign: Q = (spark, sfDir) => {
+    val centerX = (col("doc_id") * 37) % 800
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      centerX.cast("double").as("center_x"),
+      least(greatest(floor(centerX / (lit(800.0) / 2)), lit(0)), lit(1)).cast("int").as("column_id"))
+  }
+  private val oColumnAssign =
+    """SELECT doc_id, CAST((doc_id * 37) % 800 AS DOUBLE) AS center_x,
+      |CAST(least(greatest(floor(((doc_id * 37) % 800) / 400.0), 0), 1) AS INTEGER) AS column_id
+      |FROM documents""".stripMargin
+
+  /** Histogram (layout_processor.py:256): fixed-width bucket counts. */
+  private val qHistogram: Q = (spark, sfDir) =>
+    tbl(spark, sfDir, "lineitem")
+      .select(floor(col("l_extendedprice") / 1000).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  private val oHistogram =
+    """SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bucket, count(*) AS cnt
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Column-count estimate when-chain (layout_processor.py:279-297). */
+  private val qColumnEstimate: Q = (spark, sfDir) => {
+    val gap = (col("doc_id") % 200).cast("double")
+    doc(spark, sfDir).select(
+      col("doc_id"), gap.as("avg_gap"),
+      when(gap > 800 * 0.15, 2).when(gap > 800 * 0.08, 3).otherwise(4).as("k"))
+  }
+  private val oColumnEstimate =
+    """SELECT doc_id, CAST(doc_id % 200 AS DOUBLE) AS avg_gap,
+      |CASE WHEN doc_id % 200 > 120.0 THEN 2 WHEN doc_id % 200 > 64.0 THEN 3 ELSE 4 END AS k
+      |FROM documents""".stripMargin
+
+  /** Reading-order sort for k>=3 (layout_processor.py:358-366): rank within
+    * page by (column, y). */
+  private val qReadingOrderK3: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val colId = col("event_id") % 3
+    val y = col("event_id") % 97
+    val w = Window.partitionBy("user_id").orderBy(colId.asc, y.asc, col("event_id").asc)
+    tbl(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), colId.as("column_id"), y.as("y"))
+      .withColumn("reading_rank", row_number().over(w))
+  }
+  private val oReadingOrderK3 =
+    """SELECT event_id, user_id, event_id % 3 AS column_id, event_id % 97 AS y,
+      |CAST(row_number() OVER (PARTITION BY user_id
+      |  ORDER BY event_id % 3, event_id % 97, event_id) AS INTEGER) AS reading_rank
+      |FROM events""".stripMargin
+
+  /** Table normalization (table_processor.py:38-72): posexplode cells with
+    * is_header = (row position == 0). */
+  private val qTableNormalize: Q = (spark, sfDir) =>
+    tbl(spark, sfDir, "part")
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+      .select(
+        col("p_partkey"),
+        col("pos").cast("int").as("cell_col"),
+        col("col").as("cell_text"),
+        (col("pos") === 0).as("is_header"))
+  private val oTableNormalize =
+    """SELECT p_partkey,
+      |CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INTEGER) AS cell_col,
+      |unnest(string_split(p_name, ' ')) AS cell_text,
+      |(generate_subscripts(string_split(p_name, ' '), 1) - 1) = 0 AS is_header
+      |FROM part""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Relational core (aggregation / join / window / top-k)
+  // -------------------------------------------------------------------
+
+  private val qAggPushdown: Q = (spark, sfDir) =>
+    tbl(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("cnt"))
+  private val oAggPushdown =
+    """SELECT l_returnflag, l_linestatus,
+      |round(sum(l_quantity), 2) AS sum_qty,
+      |round(sum(l_extendedprice), 2) AS sum_price,
+      |count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private val qBroadcastJoin: Q = (spark, sfDir) => {
+    val orders = tbl(spark, sfDir, "orders")
+    val customer = tbl(spark, sfDir, "customer")
+    val nation = tbl(spark, sfDir, "nation")
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+  }
+  private val oBroadcastJoin =
+    """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  private val qWindowRunning: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum("value").over(w), 2).as("running_value"))
+  }
+  private val oWindowRunning =
+    """SELECT event_id, user_id,
+      |round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+      |FROM events""".stripMargin
+
+  private val qTopK: Q = (spark, sfDir) =>
+    tbl(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"))
+  private val oTopK =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin
+
+  /** Majority vote (layout_processor.py:450-465) expressed relationally:
+    * three derived detectors per doc, count-based vote with detector-1
+    * tiebreak. */
+  private val qModeVote: Q = (spark, sfDir) => {
+    val d1 = (col("doc_id") % 3 + 1).cast("int")
+    val d2 = (col("doc_id") % 4 + 1).cast("int")
+    val d3 = ((col("doc_id") + 1) % 3 + 1).cast("int")
+    val c1 = lit(1) + when(d1 === d2, 1).otherwise(0) + when(d1 === d3, 1).otherwise(0)
+    val c2 = lit(1) + when(d2 === d1, 1).otherwise(0) + when(d2 === d3, 1).otherwise(0)
+    val c3 = lit(1) + when(d3 === d1, 1).otherwise(0) + when(d3 === d2, 1).otherwise(0)
+    doc(spark, sfDir).select(
+      col("doc_id"), d1.as("d1"), d2.as("d2"), d3.as("d3"),
+      when(c1 >= c2 && c1 >= c3, d1).when(c2 >= c3, d2).otherwise(d3).as("vote"))
+  }
+  private val oModeVote =
+    """WITH d AS (SELECT doc_id,
+      |  CAST(doc_id % 3 + 1 AS INTEGER) AS d1,
+      |  CAST(doc_id % 4 + 1 AS INTEGER) AS d2,
+      |  CAST((doc_id + 1) % 3 + 1 AS INTEGER) AS d3 FROM documents),
+      |c AS (SELECT *,
+      |  1 + CASE WHEN d1=d2 THEN 1 ELSE 0 END + CASE WHEN d1=d3 THEN 1 ELSE 0 END AS c1,
+      |  1 + CASE WHEN d2=d1 THEN 1 ELSE 0 END + CASE WHEN d2=d3 THEN 1 ELSE 0 END AS c2,
+      |  1 + CASE WHEN d3=d1 THEN 1 ELSE 0 END + CASE WHEN d3=d2 THEN 1 ELSE 0 END AS c3 FROM d)
+      |SELECT doc_id, d1, d2, d3,
+      |  CASE WHEN c1 >= c2 AND c1 >= c3 THEN d1 WHEN c2 >= c3 THEN d2 ELSE d3 END AS vote
+      |FROM c""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Training-data operators: text analysis
+  // -------------------------------------------------------------------
+
+  private val qTokenCount: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.subwordCount(col("text")).as("n_subwords"))
+  private val oTokenCount =
+    """SELECT doc_id,
+      |CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+      |CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+      |  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+      |FROM documents""".stripMargin
+
+  private val qLangId: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.langId(col("text")).as("lang_guess"),
+      TextOps.stopwordHits(col("text")).as("stop_hits"))
+  private val oLangId =
+    """WITH s AS (SELECT doc_id, text,
+      |  len(list_filter(string_split(lower(trim(text)), ' '),
+      |    w -> w IN ('the','and','of','to','a','in','is','for'))) AS stop_hits,
+      |  length(text) AS total,
+      |  length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS cjk
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN total > 0 AND cjk / CAST(total AS DOUBLE) > 0.3 THEN 'zh'
+      |       WHEN stop_hits > 0 THEN 'en' ELSE 'unknown' END AS lang_guess,
+      |  CAST(stop_hits AS INTEGER) AS stop_hits
+      |FROM s""".stripMargin
+
+  private val qQualityScore: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+  private val oQualityScore =
+    """WITH s AS (SELECT doc_id, trim(text) AS t FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(length(t) AS DOUBLE) AS chars,
+      |  CAST(CASE WHEN length(t) = 0 THEN 0 ELSE len(regexp_split_to_array(t, '\s+')) END AS DOUBLE) AS words,
+      |  CAST(length(t) - length(regexp_replace(t, '[\.,;:!\?]', '', 'g')) AS DOUBLE) AS punct,
+      |  len(list_filter(string_split(lower(t), ' '),
+      |    w -> w IN ('the','and','of','to','a','in','is','for'))) AS stop_hits
+      |  FROM s)
+      |SELECT doc_id, round((
+      |  (CASE WHEN chars >= 100 AND chars <= 20000 THEN 1.0 ELSE 0.0 END) +
+      |  (CASE WHEN (CASE WHEN chars > 0 THEN punct / chars ELSE 0.0 END) <= 0.1 THEN 1.0 ELSE 0.0 END) +
+      |  (CASE WHEN (CASE WHEN words > 0 THEN chars / words ELSE 0.0 END) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END) +
+      |  least((CASE WHEN words > 0 THEN stop_hits / words ELSE 0.0 END) * 5, 1.0)
+      |) / 4, 4) AS quality
+      |FROM m""".stripMargin
+
+  private val qFingerprint: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"))
+  private val oFingerprint =
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Training-data operators: deduplication
+  // -------------------------------------------------------------------
+
+  private val qDedupExact: Q = (spark, sfDir) =>
+    doc(spark, sfDir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+  private val oDedupExact =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |min(doc_id) AS keep_doc_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1""".stripMargin
+
+  private val qNgramJaccard: Q = (spark, sfDir) => {
+    val d = doc(spark, sfDir).select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        round(TextOps.jaccard(col("a.sh"), col("b.sh")), 4).as("jaccard3"))
+  }
+  private val oNgramJaccard =
+    """WITH sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(string_split(lower(trim(text)), ' ')) < 3
+      |    THEN [array_to_string(string_split(lower(trim(text)), ' '), ' ')]
+      |    ELSE list_transform(range(0, len(string_split(lower(trim(text)), ' ')) - 2),
+      |      i -> array_to_string(string_split(lower(trim(text)), ' ')[i+1:i+3], ' ')) END) AS s
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+      |    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |         len(list_distinct(a.s || b.s)) END, 4) AS jaccard3
+      |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id""".stripMargin
+
+  private val qMinhash: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.minhashSig(col("text"), 8).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").cast("int").as("h"), col("col").as("minhash"))
+  private val oMinhash = {
+    val hashes = (0 until 8).map { i =>
+      s"""(SELECT min(('0x' || substr(md5(w || '#$i'), 1, 8))::BIGINT)
+         | FROM unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS t(w))""".stripMargin
+    }
+    s"""WITH sigs AS (SELECT doc_id, ${hashes.zipWithIndex.map { case (h, i) => s"$h AS h$i" }.mkString(", ")}
+       |FROM documents)
+       |${(0 until 8).map(i => s"SELECT doc_id, $i AS h, h$i AS minhash FROM sigs").mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** MinHash-LSH banding: 4 bands x 2 rows over the 8-value signature.
+    * Scale-honest shape: per-bucket groups (count + representative), NOT
+    * materialized candidate pairs — pairs are quadratic in bucket size and
+    * explode on skewed buckets at 100 TB; dedup keeps min(doc_id) per
+    * bucket instead. */
+  private val qMinhashLshBuckets: Q = (spark, sfDir) => {
+    val sig = doc(spark, sfDir).select(
+      col("doc_id"), TextOps.minhashSig(col("text"), 8).as("sig"))
+    sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => md5(concat_ws(",", element_at(col("sig"), b * 2 + 1), element_at(col("sig"), b * 2 + 2))))))
+      .select(col("doc_id"), col("pos").cast("int").as("band"), col("col").as("band_key"))
+      .groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+      .filter(col("n_docs") >= 2)
+  }
+  private val oMinhashLshBuckets = {
+    val hashes = (0 until 8).map { i =>
+      s"""(SELECT min(('0x' || substr(md5(w || '#$i'), 1, 8))::BIGINT)
+         | FROM unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS t(w))""".stripMargin
+    }
+    s"""WITH sigs AS (SELECT doc_id, ${hashes.zipWithIndex.map { case (h, i) => s"$h AS h$i" }.mkString(", ")}
+       |FROM documents),
+       |bands AS (
+       |${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS band_key FROM sigs").mkString("\nUNION ALL\n")})
+       |SELECT band, band_key, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+       |FROM bands GROUP BY band, band_key HAVING count(*) >= 2""".stripMargin
+  }
+
+  private val qSimhash: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.simhash32(col("text")).as("simhash"))
+  private val oSimhash =
+    """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents)
+      |SELECT doc_id,
+      |CAST(list_sum(list_transform(range(0, 32), b ->
+      |  CASE WHEN list_sum(list_transform(words, t ->
+      |    CASE WHEN (('0x' || substr(md5(t), 1, 8))::BIGINT >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |  THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM w""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Training-data operators: similarity search over embeddings
+  // -------------------------------------------------------------------
+
+  /** Brute-force cosine top-5 for the first 10 query vectors. */
+  private val qCosineTopK: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val emb = tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    val nq = sqrt(aggregate(col("qv"), lit(0.0), (a, x) => a + x * x))
+    val nv = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    val scored = q.crossJoin(emb)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        round(dot / (nq * nv), 6).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+  }
+  private val oCosineTopK =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q_id, e.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) /
+      |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(v, x -> x * x)))), 6) AS cosine
+      |  FROM q, e WHERE q_id <> e.vec_id)
+      |SELECT q_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      |FROM scored QUALIFY rank <= 5""".stripMargin
+
+  /** LSH-bucketed ANN: random-hyperplane signs from the deterministic hash32
+    * stream bucket vectors; per-bucket sizes as the scale-path diagnostic. */
+  private val qAnnLshBuckets: Q = (spark, sfDir) => {
+    val emb = tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    // 8 hyperplanes: plane p dim i weight = +1/-1 by bit of hash32("p#i")
+    val bucket = (0 until 8).map { p =>
+      val signed = aggregate(
+        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+          (x, i) => when(TextOps.hash32(concat(lit(p + "#"), i.cast("string"))).bitwiseAND(1) === 1, x).otherwise(-x)),
+        lit(0.0), (a, x) => a + x)
+      when(signed > 0, shiftleft(lit(1), p)).otherwise(0)
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), col("label"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+  }
+
+  // -------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q01_extract_spans" -> qExtractSpans,
+    "q02_extract_skew_aware" -> qExtractSkewAware,
+    "q03_adaptive_engines" -> qAdaptiveEngines,
+    "q04_title_classify" -> qTitleClassify,
+    "q05_band_classify" -> qBandClassify,
+    "q06_footer_regex" -> qFooterRegex,
+    "q07_ocr_gate" -> qOcrGate,
+    "q08_text_clean" -> qTextClean,
+    "q09_bbox_union" -> qBBoxUnion,
+    "q10_run_segments" -> qRunSegments,
+    "q11_column_assign" -> qColumnAssign,
+    "q12_histogram" -> qHistogram,
+    "q13_column_estimate" -> qColumnEstimate,
+    "q14_reading_order_k3" -> qReadingOrderK3,
+    "q15_table_normalize" -> qTableNormalize,
+    "q16_agg_pushdown" -> qAggPushdown,
+    "q17_broadcast_join" -> qBroadcastJoin,
+    "q18_window_running" -> qWindowRunning,
+    "q19_topk" -> qTopK,
+    "q20_mode_vote" -> qModeVote,
+    "q21_token_count" -> qTokenCount,
+    "q22_lang_id" -> qLangId,
+    "q23_quality_score" -> qQualityScore,
+    "q24_fingerprint" -> qFingerprint,
+    "q25_dedup_exact" -> qDedupExact,
+    "q26_ngram_jaccard" -> qNgramJaccard,
+    "q27_minhash" -> qMinhash,
+    "q28_minhash_lsh_buckets" -> qMinhashLshBuckets,
+    "q29_simhash" -> qSimhash,
+    "q30_cosine_topk" -> qCosineTopK,
+    "q31_ann_lsh_buckets" -> qAnnLshBuckets
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q04_title_classify" -> oTitleClassify,
+    "q05_band_classify" -> oBandClassify,
+    "q06_footer_regex" -> oFooterRegex,
+    "q07_ocr_gate" -> oOcrGate,
+    "q08_text_clean" -> oTextClean,
+    "q09_bbox_union" -> oBBoxUnion,
+    "q10_run_segments" -> oRunSegments,
+    "q11_column_assign" -> oColumnAssign,
+    "q12_histogram" -> oHistogram,
+    "q13_column_estimate" -> oColumnEstimate,
+    "q14_reading_order_k3" -> oReadingOrderK3,
+    "q15_table_normalize" -> oTableNormalize,
+    "q16_agg_pushdown" -> oAggPushdown,
+    "q17_broadcast_join" -> oBroadcastJoin,
+    "q18_window_running" -> oWindowRunning,
+    "q19_topk" -> oTopK,
+    "q20_mode_vote" -> oModeVote,
+    "q21_token_count" -> oTokenCount,
+    "q22_lang_id" -> oLangId,
+    "q23_quality_score" -> oQualityScore,
+    "q24_fingerprint" -> oFingerprint,
+    "q25_dedup_exact" -> oDedupExact,
+    "q26_ngram_jaccard" -> oNgramJaccard,
+    "q27_minhash" -> oMinhash,
+    "q28_minhash_lsh_buckets" -> oMinhashLshBuckets,
+    "q29_simhash" -> oSimhash,
+    "q30_cosine_topk" -> oCosineTopK
+  )
+}

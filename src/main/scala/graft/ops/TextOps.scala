@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis operators for large-scale training-data
+  * pipelines (language ID, quality scoring, token counting, fingerprinting,
+  * cleaning). Pure Catalyst expressions — codegen-friendly, no UDFs — each
+  * with a DuckDB-equivalent SQL form in [[Queries]].
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: word-pieces of <=4 chars plus
+    * punctuation splits — a cheap, deterministic stand-in for a real
+    * tokenizer's count (ceil(chars-per-word / 4) summed). */
+  def subwordCount(text: Column): Column =
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+
+  /** Newline-preserving whitespace normalization — the engine's cleaning
+    * operator as a Catalyst expression (kernel twin:
+    * TextClean.cleanLinePreserving; reference text_processor.py:60-68). */
+  def cleanLines(text: Column): Column = {
+    // per line: trim + collapse inner whitespace; newlines preserved
+    array_join(
+      transform(split(text, "\n", -1),
+        l => regexp_replace(trim(l), "\\s+", " ")),
+      "\n")
+  }
+
+  private val EnStopwords = Seq("the", "and", "of", "to", "a", "in", "is", "for")
+
+  /** Stopword hits: count of tokens that are English stopwords. */
+  def stopwordHits(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    size(filter(words, w => EnStopwords.foldLeft(lit(false))((acc, s) => acc || (w === s))))
+  }
+
+  /** n-gram-heuristic language ID: CJK-ratio then stopword evidence.
+    * Mirrors the reference's (dead) CJK ratio test
+    * (layout_processor.py:428-448) as a live operator. */
+  def langId(text: Column): Column = {
+    val total = length(text)
+    val cjk = total - length(regexp_replace(text, "[\\u4e00-\\u9fff]", ""))
+    when(total > 0 && cjk / total.cast("double") > 0.3, lit("zh"))
+      .when(stopwordHits(text) > 0, lit("en"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Quality score in [0,1]: length band + punctuation ratio + stopword
+    * ratio + mean word length band. Deterministic, SQL-expressible. */
+  def qualityScore(text: Column): Column = {
+    val t = trim(text)
+    val chars = length(t).cast("double")
+    val words = tokenCount(t).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("double")
+    val lengthOk = when(chars >= 100 && chars <= 20000, 1.0).otherwise(0.0)
+    val punctRatio = when(chars > 0, punct / chars).otherwise(0.0)
+    val punctOk = when(punctRatio <= 0.1, 1.0).otherwise(0.0)
+    val stopRatio = when(words > 0, stopwordHits(t).cast("double") / words).otherwise(0.0)
+    val stopOk = least(stopRatio * 5, lit(1.0))
+    val meanWord = when(words > 0, chars / words).otherwise(0.0)
+    val wordOk = when(meanWord >= 3 && meanWord <= 12, 1.0).otherwise(0.0)
+    round((lengthOk + punctOk + wordOk + stopOk) / 4, 4)
+  }
+
+  /** Rolling/document fingerprint: md5 of the whitespace-normalized,
+    * lowercased text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Stable 32-bit token hash as a non-negative BIGINT, identical in Spark
+    * and DuckDB: first 8 hex chars of md5. The shared primitive under
+    * minhash/simhash so oracles can reproduce signatures bit-for-bit. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** k minhash values over the whitespace token set:
+    * sig_i = min over distinct tokens of hash32(token || '#' || i). */
+  def minhashSig(text: Column, k: Int): Column = {
+    val words = array_distinct(split(lower(trim(text)), "\\s+"))
+    array((0 until k).map { i =>
+      array_min(transform(words, w => hash32(concat(w, lit("#" + i)))))
+    }: _*)
+  }
+
+  /** 32-bit simhash over whitespace tokens: bit b set iff the sum of
+    * (+1/-1 by bit b of hash32(token)) over tokens is positive. */
+  def simhash32(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => {
+        // bit b of h via exact double arithmetic (h < 2^32 << 2^53)
+        val bitOf = (h: Column) => floor(h / pow(lit(2.0), b)).cast("long") % 2
+        val vote = aggregate(words, lit(0L),
+          (a, w) => a + when(bitOf(TextOps.hash32(w)) === 1, 1L).otherwise(-1L))
+        acc + when(vote > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
+      })
+  }
+
+  /** Word-shingle n-grams (space-joined) for Jaccard similarity. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val cnt = size(words)
+    when(cnt < n, array_distinct(array(array_join(words, " "))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), cnt - n),
+        i => array_join(slice(words, i + 1, lit(n)), " "))))
+  }
+
+  /** Jaccard similarity of two string arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+}
