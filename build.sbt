@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // throughput collector: the extraction kernel is a batch allocator; G1's
+  // pause targeting cost ~2x wall at 32 threads (measured in ScaleProbe).
+  // On a real cluster: spark.executor.extraJavaOptions=-XX:+UseParallelGC.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import java.nio.file.{Files, Paths}
+
+/** Two-parallelism scaling experiment (BASELINE.md protocol): the sandbox
+  * substitute for the north_rule's N vs 4N executor criterion. Runs the
+  * IDENTICAL extraction job on the IDENTICAL pre-materialized corpus at
+  * local[N] and local[4N] (default N=8), identical AQE + shuffle config,
+  * skewed multi-hundred-page docs included, and reports throughput at both
+  * plus efficiency = throughput(4N) / (4 * throughput(N)).
+  *
+  * Usage: ScalingBench [nDocs] [N]  -> writes BENCH/BASELINE.md
+  */
+object ScalingBench {
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // fine input splits: the corpus parquet is ~hundreds of MB in small
+      // files; the 128 MB default packs them into ~3 read partitions and
+      // starves the narrow mapPartitions stage of parallelism (identical at
+      // both levels — on a real 100 TB table the file count provides this)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  final case class RunStats(cores: Int, wallSec: Double, docs: Long, pages: Long, spans: Long,
+      checksum: Long = 0L) {
+    def docsPerSec: Double = docs / wallSec
+    def pagesPerSec: Double = pages / wallSec
+  }
+
+  private def runOnce(cores: Int, corpusPath: String, parts: Int,
+      skewThresholdSpans: Int = 512 * graft.kernel.Parse.SpansPerPage): RunStats = {
+    val spark = session(cores)
+    import spark.implicits._
+    try {
+      val docs = spark.read.parquet(corpusPath)
+      // JIT/codegen warmup outside the timed region (same plan, small slice,
+      // two passes so the kernel tiers up to C2 before the clock starts)
+      graft.pipeline.Extract.extractContract(docs.limit(1500)).selectExpr("count(*)").collect()
+      graft.pipeline.Extract.extractContract(docs.limit(1500)).selectExpr("count(*)").collect()
+      val t0 = System.nanoTime()
+      val row = graft.pipeline.Extract
+        .extractContract(docs, skewSpanThreshold = skewThresholdSpans, pageParallelism = cores * 4)
+        .filter(!col("quarantined"))
+        .selectExpr("count(*) AS docs", "sum(num_pages) AS pages",
+          "sum(coalesce(size(spans), 0)) AS spans",
+          // order-independent checksum over every (doc_id, span sequence):
+          // identical at every parallelism level iff results are identical
+          "sum(cast(hash(doc_id, spans) AS BIGINT)) AS checksum")
+        .collect()(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      RunStats(cores, wall, row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    } finally spark.stop()
+  }
+
+  /** Subcommands (one JVM per measurement so heap zeroing / JIT / GC state
+    * never leaks between runs — drive via tools/scaling.sh):
+    *   gen <nDocs> <path>            materialize the corpus
+    *   run <cores> <path>            one timed run; prints one JSON line
+    *   report <nDocs> <n> <jsonN> <json4N>   write BENCH/BASELINE.md
+    * No args: legacy single-JVM mode (gen + both runs + report).
+    */
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") =>
+      val nDocs = args(1).toInt
+      val corpusPath = args(2)
+      val gen = session(32)
+      try {
+        import gen.implicits._
+        gen.createDataset(Fixtures0.ids(nDocs))
+          .repartition(128)
+          .map(graft.fixtures.Fixtures.gen _)
+          .write.mode("overwrite").parquet(corpusPath)
+      } finally gen.stop()
+
+    case Some("run") =>
+      val cores = args(1).toInt
+      val thresholdPages = args.lift(3).map(_.toInt).getOrElse(512)
+      val s = runOnce(cores, args(2), cores * 4, thresholdPages * graft.kernel.Parse.SpansPerPage)
+      println(s"""{"cores":${s.cores},"wall_sec":${s.wallSec},"docs":${s.docs},"pages":${s.pages},"spans":${s.spans},"docs_per_sec":${s.docsPerSec},"pages_per_sec":${s.pagesPerSec},"checksum":${s.checksum}}""")
+
+    case Some("report") =>
+      val nDocs = args(1).toInt
+      val n = args(2).toInt
+      def parse(j: String): RunStats = {
+        def f(k: String): Double = s""""$k":([-0-9.eE]+)""".r.findFirstMatchIn(j).get.group(1).toDouble
+        RunStats(f("cores").toInt, f("wall_sec"), f("docs").toLong, f("pages").toLong, f("spans").toLong)
+      }
+      writeReport(nDocs, n, parse(args(3)), parse(args(4)))
+
+    case _ =>
+      val nDocs = args.headOption.map(_.toInt).getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "24000").toInt)
+      val n = args.lift(1).map(_.toInt).getOrElse(8)
+      main(Array("gen", nDocs.toString, "target/scaling_corpus.parquet"))
+      val statsN = runOnce(n, "target/scaling_corpus.parquet", n * 4)
+      val stats4N = runOnce(n * 4, "target/scaling_corpus.parquet", n * 16)
+      writeReport(nDocs, n, statsN, stats4N)
+  }
+
+  def writeReport(nDocs: Int, n: Int, statsN: RunStats, stats4N: RunStats): Unit = {
+    val n4 = n * 4
+    val efficiency = stats4N.docsPerSec / (4.0 * statsN.docsPerSec)
+    val md =
+      s"""# BENCH/BASELINE — scaling experiment (N vs 4N parallelism)
+         |
+         |Protocol: BASELINE.md (sandbox substitute for the two-cluster-size
+         |criterion). Identical job — `Extract.extractSkewAware` over the
+         |identical pre-materialized corpus parquet — at `local[$n]` and
+         |`local[$n4]`, `spark.sql.shuffle.partitions` = cores, AQE on at both
+         |levels. Corpus: $nDocs deterministic fixture docs (archetype mix incl.
+         |1-in-20 multi-hundred-page skewed giants), ${statsN.pages} pages,
+         |${statsN.spans} output spans.
+         |
+         || parallelism | wall (s) | docs/sec | pages/sec |
+         ||---|---|---|---|
+         || local[$n]  | ${f"${statsN.wallSec}%.1f"} | ${f"${statsN.docsPerSec}%.1f"} | ${f"${statsN.pagesPerSec}%.1f"} |
+         || local[$n4] | ${f"${stats4N.wallSec}%.1f"} | ${f"${stats4N.docsPerSec}%.1f"} | ${f"${stats4N.pagesPerSec}%.1f"} |
+         |
+         |**Scaling efficiency (target >= 0.8):**
+         |`throughput(4N) / (4 x throughput(N))` = **${f"$efficiency%.3f"}**
+         |
+         |Span counts identical at both levels: ${statsN.spans == stats4N.spans}
+         |(docs ${statsN.docs}/${stats4N.docs}, pages ${statsN.pages}/${stats4N.pages}).
+         |""".stripMargin
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    println(md)
+    println(s"""{"scaling_efficiency":$efficiency,"n":"local[$n]","t_n":${statsN.wallSec},"t_4n":${stats4N.wallSec},"docs":$nDocs}""")
+  }
+}
+
+/** Corpus id helper kept serialization-free for the generator closure. */
+private object Fixtures0 {
+  def ids(n: Int): Seq[String] = graft.fixtures.Fixtures.corpusIds(n)
+}

@@ -24,20 +24,23 @@ object AdaptivePlumber {
   def extractWords(spans: Seq[Span]): Vector[Word] = {
     val out = Vector.newBuilder[Word]
     spans.sortBy(_.offset).filter(_.kind != "image").foreach { span =>
-      val chars = Parse.deriveChars(span)
-      var cur = Vector.empty[Parse.Char]
-      def flush(): Unit = {
-        val letters = cur.filter(_.text != " ")
-        if (letters.nonEmpty)
-          out += Word(letters.map(_.text).mkString, letters.map(_.x0).min, letters.map(_.x1).max, letters.head.top)
-        cur = Vector.empty
+      val run = Parse.deriveCharRun(span)
+      val n = run.length
+      var start = -1
+      def flush(endExcl: Int): Unit = {
+        if (start >= 0 && endExcl > start) {
+          out += Word(run.text(start, endExcl), run.x0(start), run.x1(endExcl - 1), run.top)
+        }
+        start = -1
       }
-      chars.foreach { ch =>
-        if (ch.text == " ") flush()
-        else if (cur.nonEmpty && ch.x0 - cur.last.x1 > 3.0) { flush(); cur = Vector(ch) }
-        else cur :+= ch
+      var i = 0
+      while (i < n) {
+        if (run.chars(i) == ' ') flush(i)
+        else if (start < 0) start = i
+        else if (run.grid(i) - run.grid(i - 1) > 1) { flush(i); start = i } // x-gap > 3pt breaks the word
+        i += 1
       }
-      flush()
+      flush(n)
     }
     out.result()
   }

@@ -119,6 +119,34 @@ object Cluster {
     total / n
   }
 
+  /** Exact 2-means over ALREADY-SORTED values: returns the split index s
+    * (clusters [0,s) and [s,n)) minimizing SSE, plus the two means. O(n).
+    * Same partition as kmeans1D(xs, 2) when xs is ascending — the
+    * allocation-free hot-path variant for per-line splits. */
+  def bestSplit2Sorted(xs: Array[Double]): (Int, Double, Double) = {
+    val n = xs.length
+    require(n >= 2, "need >= 2 points")
+    var sum = 0.0; var sum2 = 0.0
+    var i = 0
+    while (i < n) { sum += xs(i); sum2 += xs(i) * xs(i); i += 1 }
+    var bestS = 1
+    var bestCost = Double.MaxValue
+    var ls = 0.0; var ls2 = 0.0
+    var s = 1
+    while (s < n) {
+      ls += xs(s - 1); ls2 += xs(s - 1) * xs(s - 1)
+      val rs = sum - ls; val rs2 = sum2 - ls2
+      val m = n - s
+      val cost = (ls2 - ls * ls / s) + (rs2 - rs * rs / m)
+      if (cost < bestCost - 1e-12) { bestCost = cost; bestS = s }
+      s += 1
+    }
+    var lsum = 0.0
+    i = 0
+    while (i < bestS) { lsum += xs(i); i += 1 }
+    (bestS, lsum / bestS, (sum - lsum) / (n - bestS))
+  }
+
   /** np.histogram(xs, bins, range=(lo, hi)) semantics: uniform bins over
     * [lo, hi], right-closed last bin, values outside range dropped.
     * (reference: layout_processor.py:256, adaptive_pdfitz.py:180) */

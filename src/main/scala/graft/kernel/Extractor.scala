@@ -23,16 +23,16 @@ object Extractor {
         (row, rowIdx) <- t.data.zipWithIndex
         (cellText, colIdx) <- row.zipWithIndex
         if cellText != null
-      } yield TableCell(cellText, rowIdx, colIdx, Seq(0d, 0d, 0d, 0d), 1.0, rowIdx == 0)
-      Some(TableResult(cells, t.rows, t.cols, Seq(0d, 0d, 0d, 0d), 1.0, pageNum))
+      } yield TableCell(cellText, rowIdx, colIdx, Vector(0d, 0d, 0d, 0d), 1.0, rowIdx == 0)
+      Some(TableResult(cells, t.rows, t.cols, Vector(0d, 0d, 0d, 0d), 1.0, pageNum))
     }
   }
 
   /** Image normalization (reference: image_processor.py:38-55). media_ref is
     * the reference's (always-empty) image_path — here it carries the input
     * span's media_ref through. */
-  def processImageData(img: Parse.ImageDict, mediaRef: String, pageNum: Int): ImageResult =
-    ImageResult(media_ref = mediaRef, bbox = img.bbox, page_number = pageNum, image_type = img.imageType)
+  def processImageData(img: Parse.ImageDict, pageNum: Int): ImageResult =
+    ImageResult(media_ref = img.mediaRef, bbox = img.bbox, page_number = pageNum, image_type = img.imageType)
 
   /** OCR gate (reference: core.py:267-278): no text objects, or total text
     * length < 50. The OCR body is a stub returning no blocks
@@ -46,7 +46,7 @@ object Extractor {
   /** Per-page pipeline (reference: core.py:207-243): text blocks -> layout ->
     * tables -> images -> OCR gate. pageNum is 1-based like the reference
     * (core.py:171). */
-  def processSinglePage(pageData: Parse.PageData, pageNum: Int, imageRefs: Seq[String], cfg: ExtractConfig): PageResult = {
+  def processSinglePage(pageData: Parse.PageData, pageNum: Int, cfg: ExtractConfig): PageResult = {
     var page = PageResult(
       page_number = pageNum,
       width = pageData.width,
@@ -59,9 +59,7 @@ object Extractor {
       page = page.copy(tables = pageData.tables.flatMap(processTableData(_, pageNum)))
     }
     if (cfg.enableImageProcessing) {
-      page = page.copy(images = pageData.images.zip(imageRefs).map { case (img, ref) =>
-        processImageData(img, ref, pageNum)
-      })
+      page = page.copy(images = pageData.images.map(processImageData(_, pageNum)))
     }
     if (cfg.enableOcr && needsOcr(pageData.textObjects)) {
       // OCR stub: gate fires, adds nothing (ocr_processor.py:45-55)
@@ -119,10 +117,8 @@ object Extractor {
     * the skew path can run pages independently. */
   def extractPage(pageNumber0: Int, spans: Seq[Span], cfg: ExtractConfig): PageResult = {
     val pageData = Parse.parsePage(pageNumber0, spans, cfg)
-    val imageRefs = spans.sortBy(_.offset).filter(_.kind == "image")
-      .map(s => if (s.media_ref == null) "" else s.media_ref)
     // reference numbers pages from 1 (core.py:171)
-    try processSinglePage(pageData, pageNumber0 + 1, imageRefs, cfg)
+    try processSinglePage(pageData, pageNumber0 + 1, cfg)
     catch { case scala.util.control.NonFatal(_) => PageResult(page_number = pageNumber0 + 1) }
   }
 

@@ -14,10 +14,34 @@ object Layout {
     * detect_headers (detect_footers is a dead knob, layout_processor.py:25-30). */
   def process(page: PageResult, cfg: ExtractConfig): PageResult = {
     var p = page
-    if (cfg.detectHeaders) p = detectTitles(p)
-    if (cfg.detectHeaders) p = detectHeadersFooters(p)
+    if (cfg.detectHeaders) p = classifyBlocks(p) // titles then bands, fused single pass
     if (cfg.detectColumns) p = detectColumns(p)
     p
+  }
+
+  /** Fused single-pass equivalent of detectTitles + detectHeadersFooters
+    * (same order: the band classifier may overwrite a title, exactly as the
+    * reference's sequential passes do — layout_processor.py:25-30). */
+  def classifyBlocks(page: PageResult): PageResult = {
+    val headerThreshold = page.height * 0.05
+    val footerThreshold = page.height * 0.95
+    page.copy(text_blocks = page.text_blocks.map { b0 =>
+      val afterTitle = if (b0.font_size.exists(_ > 14)) "title" else b0.block_type
+      var t = afterTitle
+      if (b0.hasBBox) {
+        val yTop = b0.bbox(1); val yBottom = b0.bbox(3)
+        val blockHeight = yBottom - yTop
+        val blockWidth = b0.bbox(2) - b0.bbox(0)
+        if (!(blockHeight > page.height * 0.3 || blockWidth > page.width * 0.8)) {
+          if (yTop < headerThreshold && yBottom < headerThreshold * 2) {
+            if (isLikelyHeader(b0, page.width)) t = "header"
+          } else if (yBottom > footerThreshold && yTop > footerThreshold - headerThreshold) {
+            if (isLikelyFooter(b0, page.width)) t = "footer"
+          }
+        }
+      }
+      if (t == b0.block_type) b0 else b0.copy(block_type = t)
+    })
   }
 
   /** Title detection: font_size > 14 (reference: layout_processor.py:42-49). */
@@ -26,11 +50,10 @@ object Layout {
       if (b.font_size.exists(_ > 14)) b.copy(block_type = "title") else b
     })
 
-  // re.match anchors at the start only — encode as ^pattern with find()
-  // semantics via java's Matcher.lookingAt equivalent: we compile ^pattern
-  // and use .findFirstIn-like prefix match.
-  private def reMatch(pattern: String, text: String): Boolean =
-    java.util.regex.Pattern.compile(pattern).matcher(text).lookingAt()
+  // re.match anchors at the start only — lookingAt() on patterns compiled
+  // ONCE (per-call Pattern.compile was a measured hot frame at scale).
+  private def compiled(patterns: Seq[String]): Array[java.util.regex.Pattern] =
+    patterns.map(java.util.regex.Pattern.compile).toArray
 
   /** Header content patterns (reference: layout_processor.py:107-121). */
   val HeaderPatterns: Seq[String] = Seq(
@@ -58,12 +81,19 @@ object Layout {
     "^Footer$"
   )
 
-  private def likelyBand(block: TextBlock, pageWidth: Double, patterns: Seq[String]): Boolean = {
+  private val HeaderCompiled = compiled(HeaderPatterns)
+  private val FooterCompiled = compiled(FooterPatterns)
+
+  private def likelyBand(block: TextBlock, pageWidth: Double, patterns: Array[java.util.regex.Pattern]): Boolean = {
     if (block.text == null) return false
     val text = block.text.trim
     if (text.length < 2) return false
     if (text.length > 200) return false
-    if (patterns.exists(reMatch(_, text))) return true
+    var i = 0
+    while (i < patterns.length) {
+      if (patterns(i).matcher(text).lookingAt()) return true
+      i += 1
+    }
     if (block.hasBBox) {
       val center = (block.bbox(0) + block.bbox(2)) / 2
       if (math.abs(center - pageWidth / 2) < pageWidth * 0.1) return true
@@ -73,10 +103,10 @@ object Layout {
   }
 
   def isLikelyHeader(block: TextBlock, pageWidth: Double): Boolean =
-    likelyBand(block, pageWidth, HeaderPatterns)
+    likelyBand(block, pageWidth, HeaderCompiled)
 
   def isLikelyFooter(block: TextBlock, pageWidth: Double): Boolean =
-    likelyBand(block, pageWidth, FooterPatterns)
+    likelyBand(block, pageWidth, FooterCompiled)
 
   /** Geometric band + content classification
     * (reference: layout_processor.py:51-89). */
@@ -218,20 +248,21 @@ object Layout {
     val columns = Array.fill(columnCount)(Vector.newBuilder[TextBlock])
     val columnWidth = page.width / columnCount
     val boundaries = (0 until columnCount).map(i => (i * columnWidth, (i + 1) * columnWidth))
-    val assigned = page.text_blocks.map { b =>
+    page.text_blocks.foreach { b =>
       if (b.bbox == null || b.bbox.length < 2) {
-        val nb = b.copy(column_id = 0); columns(0) += nb; nb
+        columns(0) += b.copy(column_id = 0)
       } else {
         val centerX = (b.bbox(0) + b.bbox(2)) / 2
         var col = 0
         var found = false
-        boundaries.zipWithIndex.foreach { case ((l, r), i) =>
-          if (!found && l <= centerX && centerX < r) { col = i; found = true }
+        var i = 0
+        while (i < columnCount && !found) {
+          if (boundaries(i)._1 <= centerX && centerX < boundaries(i)._2) { col = i; found = true }
+          i += 1
         }
-        val nb = b.copy(column_id = col); columns(col) += nb; nb
+        columns(col) += b.copy(column_id = col)
       }
     }
-    val _ = assigned
     columns.map(_.result()).toVector
   }
 
@@ -267,12 +298,24 @@ object Layout {
     }
     uniqueRows = uniqueRows.sorted
 
+    // two-pointer sweep per column: blocks are y-sorted, anchors ascending,
+    // so each row's matches are a contiguous window [rowY-tol, rowY+tol].
+    // Blocks within tol of two anchors are emitted for both rows — the
+    // reference's duplicate quirk (layout_processor.py:410-424) preserved.
+    val leftArr = left.filter(_.hasBBox).toArray
+    val rightArr = right.filter(_.hasBBox).toArray
     val out = Vector.newBuilder[TextBlock]
+    var ls = 0; var rs = 0
+    val row = scala.collection.mutable.ArrayBuffer.empty[TextBlock]
     uniqueRows.foreach { rowY =>
-      val lb = left.filter(b => b.hasBBox && math.abs(b.bbox(1) - rowY) <= rowTolerance)
-      val rb = right.filter(b => b.hasBBox && math.abs(b.bbox(1) - rowY) <= rowTolerance)
-      val row = (lb ++ rb).sortBy(b => if (b.hasBBox) b.bbox(0) else 0.0)
-      out ++= row
+      row.clear()
+      while (ls < leftArr.length && leftArr(ls).bbox(1) < rowY - rowTolerance) ls += 1
+      var i = ls
+      while (i < leftArr.length && leftArr(i).bbox(1) <= rowY + rowTolerance) { row += leftArr(i); i += 1 }
+      while (rs < rightArr.length && rightArr(rs).bbox(1) < rowY - rowTolerance) rs += 1
+      i = rs
+      while (i < rightArr.length && rightArr(i).bbox(1) <= rowY + rowTolerance) { row += rightArr(i); i += 1 }
+      out ++= row.sortBy(b => if (b.hasBBox) b.bbox(0) else 0.0)
     }
     out.result()
   }

@@ -37,7 +37,7 @@ object Parse {
       size: Double
   )
 
-  final case class ImageDict(bbox: Seq[Double], width: Double, height: Double, imageType: String)
+  final case class ImageDict(bbox: Seq[Double], width: Double, height: Double, imageType: String, mediaRef: String = "")
   final case class TableDict(data: Seq[Seq[String]], rows: Int, cols: Int)
 
   final case class PageData(
@@ -45,7 +45,6 @@ object Parse {
       width: Double,
       height: Double,
       textObjects: Seq[TextBlock], // parser-level blocks (pre-layout)
-      lines: Seq[Line],
       images: Seq[ImageDict],
       tables: Seq[TableDict]
   )
@@ -127,12 +126,12 @@ object Parse {
   /** Line-level geometry for a text span (bbox across its chars; empty spans
     * get a degenerate bbox at the line origin). */
   def deriveLine(span: Span): Line = {
-    val chars = deriveChars(span)
-    val (fontname, size) = fontOf(span.offset)
-    val (top, bottom) = lineGeom(span.offset)
-    if (chars.isEmpty) Line(if (span.text == null) "" else span.text, lineIdxOf(span.offset), LeftMargin, top, LeftMargin, bottom, fontname, size)
-    else Line(if (span.text == null) "" else span.text, lineIdxOf(span.offset),
-      chars.map(_.x0).min, top, chars.map(_.x1).max, bottom, fontname, size)
+    val run = deriveCharRun(span)
+    val text = if (span.text == null) "" else span.text
+    if (run.length == 0)
+      Line(text, lineIdxOf(span.offset), LeftMargin, run.top, LeftMargin, run.bottom, run.fontname, run.size)
+    else
+      Line(text, lineIdxOf(span.offset), run.x0(0), run.top, run.x1(run.length - 1), run.bottom, run.fontname, run.size)
   }
 
   /** Image geometry: images occupy their line slot, x 100..500.
@@ -140,12 +139,144 @@ object Parse {
   def deriveImage(span: Span): ImageDict = {
     val (top, _) = lineGeom(span.offset)
     val bottom = top + LineHeight
-    ImageDict(Seq(100.0, top, 500.0, bottom), 400.0, LineHeight, "image")
+    ImageDict(Vector(100.0, top, 500.0, bottom), 400.0, LineHeight, "image", if (span.media_ref == null) "" else span.media_ref)
   }
 
   // ---------------------------------------------------------------------
-  // Char grouping + column split (reference: pdf_processor.py:234-412)
+  // Allocation-free hot path: one line's chars as two primitive arrays.
+  // Per-char geometry is fully determined by (grid position, line offset),
+  // so the Char-object stream (kept below for tests/cross-validation) is
+  // redundant at runtime — at 100 TB the per-char object churn was the
+  // measured GC bottleneck.
   // ---------------------------------------------------------------------
+
+  /** One raw line as primitive arrays: chars (gaps excluded) + their grid
+    * positions (monotonic). Same font/size/top for the whole line by
+    * construction of the geometry template. */
+  final class CharRun(
+      val chars: Array[scala.Char],
+      val grid: Array[Int],
+      val top: Double,
+      val bottom: Double,
+      val fontname: String,
+      val size: Double) {
+    def length: Int = chars.length
+    def x0(i: Int): Double = LeftMargin + grid(i) * CharWidth
+    def x1(i: Int): Double = x0(i) + CharWidth
+    def text(a: Int, b: Int): String = new String(chars, a, b - a)
+  }
+
+  /** Array-based twin of [[deriveChars]]: single spaces are chars, runs of
+    * >= 2 spaces advance the grid without emitting. */
+  def deriveCharRun(span: Span): CharRun = {
+    val text = if (span.text == null) "" else span.text
+    val (fontname, size) = fontOf(span.offset)
+    val (top, bottom) = lineGeom(span.offset)
+    val n = text.length
+    val chars = new Array[scala.Char](n)
+    val grid = new Array[Int](n)
+    var out = 0
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == ' ') {
+        var j = i
+        while (j < n && text.charAt(j) == ' ') j += 1
+        val runLen = j - i
+        if (runLen >= 2) pos += runLen
+        else { chars(out) = ' '; grid(out) = pos; out += 1; pos += 1 }
+        i = j
+      } else {
+        chars(out) = c; grid(out) = pos; out += 1; pos += 1; i += 1
+      }
+    }
+    new CharRun(java.util.Arrays.copyOf(chars, out), java.util.Arrays.copyOf(grid, out), top, bottom, fontname, size)
+  }
+
+  /** Array-based twin of [[splitLineByColumns]] over one CharRun: returns
+    * split ranges [a, b). Chars are x-monotonic by construction, so the
+    * reference's pre-sort (pdf_processor.py:335) is the identity here. */
+  def splitRangesByColumns(run: CharRun, pageWidth: Double, minGapRatio: Double = 0.15): Array[(Int, Int)] = {
+    val n = run.length
+    if (n == 0) return Array.empty
+    if (n <= 3) return Array((0, n))
+    val minGapGrid = pageWidth * minGapRatio / CharWidth // gap_pt = (dGrid - 1) * CharWidth
+    def gapAt(i: Int): Double = (run.grid(i) - run.grid(i - 1) - 1) * CharWidth
+    var nLarge = 0
+    var firstIdx = -1
+    var i = 1
+    while (i < n) {
+      if (gapAt(i) > pageWidth * minGapRatio) { nLarge += 1; if (firstIdx < 0) firstIdx = i - 1 }
+      i += 1
+    }
+    val _ = minGapGrid
+    if (nLarge == 0) return Array((0, n))
+    if (nLarge == 1) {
+      val gapIdx = firstIdx
+      val gapSize = gapAt(gapIdx + 1)
+      if (gapSize < pageWidth * 0.20) return Array((0, n))
+      val leftLen = gapIdx + 1
+      val rightLen = n - leftLen
+      if (leftLen < 2 || rightLen < 2) return Array((0, n))
+      val leftText = run.text(0, leftLen).trim
+      val rightText = run.text(leftLen, n).trim
+      if (leftText.length < 3 || rightText.length < 3) return Array((0, n))
+      val combined = (leftText + " " + rightText).toLowerCase
+      if (Connectors.exists(combined.contains) && combined.length < 100) return Array((0, n))
+    }
+    val out = Array.newBuilder[(Int, Int)]
+    var start = 0
+    i = 1
+    while (i < n) {
+      if (gapAt(i) > pageWidth * minGapRatio) { out += ((start, i)); start = i }
+      i += 1
+    }
+    out += ((start, n))
+    out.result()
+  }
+
+  private def blockOf(run: CharRun, a: Int, b: Int): TextBlock = {
+    val fn = run.fontname.toLowerCase
+    TextBlock(
+      text = run.text(a, b),
+      bbox = Vector(run.x0(a), run.top, run.x1(b - 1), run.bottom),
+      font_size = Some(run.size),
+      font_family = Some(run.fontname),
+      is_bold = fn.contains("bold"),
+      is_italic = fn.contains("italic") || fn.contains("oblique"))
+  }
+
+  /** Array-based twin of [[extractTextObjects]] over a page's text spans.
+    * One span = one (fontname, size, top) char group: the geometry template
+    * gives every offset a distinct top, so the reference's run-change
+    * grouping (pdf_processor.py:234-257) never merges across spans — see
+    * ParseEquivalenceSpec for the cross-validation against the generic path. */
+  def extractTextObjectsFast(textSpans: Seq[Span], pageWidth: Double): Vector[TextBlock] = {
+    val out = Vector.newBuilder[TextBlock]
+    textSpans.foreach { span =>
+      val run = deriveCharRun(span)
+      if (run.length > 0) {
+        splitRangesByColumns(run, pageWidth).foreach { case (a, b) =>
+          if (run.text(a, b).trim.nonEmpty) {
+            val blockWidth = run.x1(b - 1) - run.x0(a)
+            if (blockWidth > pageWidth * 0.60 && (b - a) > 10) {
+              // over-wide block: exact 2-means on x0 (sorted -> best split)
+              val xs = new Array[Double](b - a)
+              var i = a
+              while (i < b) { xs(i - a) = run.x0(i); i += 1 }
+              val (s, _, _) = Cluster.bestSplit2Sorted(xs)
+              if (s >= 3) out += blockOf(run, a, a + s) // left sub-block (>= 3 chars)
+              if (b - a - s >= 3) out += blockOf(run, a + s, b)
+            } else {
+              out += blockOf(run, a, b)
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
 
   /** Group chars by running (fontname, size, top) key change — consecutive-run
     * segmentation, not a global groupBy (reference: pdf_processor.py:234-257). */
@@ -204,8 +335,8 @@ object Parse {
 
   /** Bbox union over a char group (reference: pdf_processor.py:259-269). */
   def calculateBBox(chars: Seq[Char]): Seq[Double] = {
-    if (chars.isEmpty) Seq(0d, 0d, 0d, 0d)
-    else Seq(chars.map(_.x0).min, chars.map(_.top).min, chars.map(_.x1).max, chars.map(_.bottom).max)
+    if (chars.isEmpty) Vector(0d, 0d, 0d, 0d)
+    else Vector(chars.map(_.x0).min, chars.map(_.top).min, chars.map(_.x1).max, chars.map(_.bottom).max)
   }
 
   final case class FontInfo(size: Option[Double], fontname: Option[String], isBold: Boolean, isItalic: Boolean)
@@ -284,12 +415,14 @@ object Parse {
   //     (adaptive_pdfplumber.py:41, vertical_strategy='text').
   // ---------------------------------------------------------------------
 
+  private val PipeSplit = java.util.regex.Pattern.compile("\\|")
+
   private def pipeCells(text: String): Option[Vector[String]] = {
     val t = if (text == null) "" else text
     val trimmed = t.trim
     if (trimmed.length >= 2 && trimmed.startsWith("|") && trimmed.endsWith("|") && trimmed.count(_ == '|') >= 3) {
       val inner = trimmed.substring(1, trimmed.length - 1)
-      Some(inner.split("\\|", -1).map(_.trim).toVector)
+      Some(PipeSplit.split(inner, -1).map(_.trim).toVector)
     } else None
   }
 
@@ -323,11 +456,12 @@ object Parse {
   /** Whitespace-grid (text-alignment) table detection: the "text" vertical
     * strategy. Returns the first detected grid (pdfplumber's extract_table
     * returns one), or None. */
+  private val CellRun = "[^ ](?:[^ ]| (?! ))*".r // runs of non-space (single spaces allowed inside)
+
   def extractTableTextStrategy(lines: Seq[Line], tolChars: Int = 1): Option[TableDict] = {
     def cellStarts(text: String): Vector[(Int, String)] = {
       val t = if (text == null) "" else text
-      val re = "[^ ](?:[^ ]| (?! ))*".r // runs of non-space (single spaces allowed inside)
-      re.findAllMatchIn(t).map(m => (m.start, m.matched.trim)).toVector
+      CellRun.findAllMatchIn(t).map(m => (m.start, m.matched.trim)).toVector
     }
     val parsed = lines.map(l => cellStarts(l.text))
     var i = 0
@@ -356,18 +490,26 @@ object Parse {
   // Page assembly
   // ---------------------------------------------------------------------
 
-  /** Parse one page's spans (offset-ordered, all on the same page). */
+  private def ensureSortedByOffset(spans: Seq[Span]): Seq[Span] = {
+    var i = 1
+    var sortedAlready = true
+    while (sortedAlready && i < spans.length) {
+      if (spans(i - 1).offset > spans(i).offset) sortedAlready = false
+      i += 1
+    }
+    if (sortedAlready) spans else spans.sortBy(_.offset)
+  }
+
+  /** Parse one page's spans (any order; all on the same page). */
   def parsePage(pageNumber: Int, spans: Seq[Span], cfg: ExtractConfig): PageData = {
-    val sorted = spans.sortBy(_.offset)
+    val sorted = ensureSortedByOffset(spans)
     val textSpans = sorted.filter(s => s.kind == null || s.kind != "image")
     val imageSpans = sorted.filter(s => s.kind == "image")
 
-    val pageChars = textSpans.flatMap(deriveChars)
-    val textObjects = extractTextObjects(pageChars, PageWidth)
-    val lines = textSpans.map(deriveLine).filter(_.text.trim.nonEmpty)
+    val textObjects = extractTextObjectsFast(textSpans, PageWidth)
     val images = imageSpans.map(deriveImage)
     val tables = extractTablesLines(textSpans.map(s => if (s.text == null) "" else s.text))
-    PageData(pageNumber, PageWidth, PageHeight, textObjects, lines.toVector, images.toVector, tables)
+    PageData(pageNumber, PageWidth, PageHeight, textObjects, images.toVector, tables)
   }
 
   /** Split a doc's spans into offset-ordered pages. */

@@ -14,13 +14,36 @@ import graft.model._
 object TextClean {
 
   /** Python `' '.join(line.strip().split())` per line, newline-preserving.
-    * str.split() splits on any whitespace run and drops empties. */
+    * str.split() splits on any whitespace run and drops empties.
+    *
+    * Hand-rolled single pass (no regex): String.split with a multi-char
+    * pattern compiles a Pattern per call — measured as a top-3 hot frame on
+    * the giant-doc path. Whitespace = Java \s = [ \t\n\x0B\f\r], matching
+    * Python str.split() for ASCII inputs. \r\n, \n and \r all end lines. */
   def cleanLinePreserving(text: String): String = {
     if (text == null) return null
-    // Python splitlines on \n \r \r\n (and unicode seps — restrict to the
-    // common three; our pipeline only ever produces \n)
-    val lines = text.split("\r\n|\n|\r", -1)
-    lines.map(l => l.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")).mkString("\n")
+    val n = text.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var lineHasContent = false // emitted a word on the current line
+    var pendingSpace = false // whitespace seen since last word on this line
+    def endLine(): Unit = { sb.append('\n'); lineHasContent = false; pendingSpace = false }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\r') {
+        if (i + 1 < n && text.charAt(i + 1) == '\n') i += 1
+        endLine()
+      } else if (c == '\n') endLine()
+      else if (c == ' ' || c == '\t' || c == '\u000B' || c == '\f') pendingSpace = true
+      else {
+        if (lineHasContent && pendingSpace) sb.append(' ')
+        sb.append(c)
+        lineHasContent = true
+        pendingSpace = false
+      }
+      i += 1
+    }
+    sb.toString
   }
 
   def cleanText(result: DocResult): DocResult = {

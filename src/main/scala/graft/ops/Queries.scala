@@ -54,6 +54,14 @@ object Queries {
     fitz.unionByName(plumber)
   }
 
+  /** The production contract pipeline (array-columnar fast path +
+    * page-split leg): input table -> output span table. */
+  private val qExtractContract: Q = (spark, sfDir) => {
+    val input = graft.SparkEntry.rawDocs(spark, sfDir).toDF()
+    graft.pipeline.Extract.extractContract(input)
+      .selectExpr("doc_id", "coalesce(size(spans), 0) AS n_spans", "num_pages", "quarantined")
+  }
+
   // -------------------------------------------------------------------
   // SQL-expressible extraction operators (Catalyst; DuckDB oracle)
   // -------------------------------------------------------------------
@@ -436,9 +444,9 @@ object Queries {
       |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id""".stripMargin
 
   private val qMinhash: Q = (spark, sfDir) =>
-    doc(spark, sfDir).select(
-      col("doc_id"),
-      TextOps.minhashSig(col("text"), 8).as("sig"))
+    doc(spark, sfDir)
+      .select(col("doc_id"), TextOps.distinctTokens(col("text")).as("words"))
+      .select(col("doc_id"), TextOps.minhashSigFromWords(col("words"), 8).as("sig"))
       .select(col("doc_id"), posexplode(col("sig")))
       .select(col("doc_id"), col("pos").cast("int").as("h"), col("col").as("minhash"))
   private val oMinhash = {
@@ -457,8 +465,9 @@ object Queries {
     * explode on skewed buckets at 100 TB; dedup keeps min(doc_id) per
     * bucket instead. */
   private val qMinhashLshBuckets: Q = (spark, sfDir) => {
-    val sig = doc(spark, sfDir).select(
-      col("doc_id"), TextOps.minhashSig(col("text"), 8).as("sig"))
+    val sig = doc(spark, sfDir)
+      .select(col("doc_id"), TextOps.distinctTokens(col("text")).as("words"))
+      .select(col("doc_id"), TextOps.minhashSigFromWords(col("words"), 8).as("sig"))
     sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -482,9 +491,10 @@ object Queries {
   }
 
   private val qSimhash: Q = (spark, sfDir) =>
-    doc(spark, sfDir).select(
-      col("doc_id"),
-      TextOps.simhash32(col("text")).as("simhash"))
+    doc(spark, sfDir)
+      .select(col("doc_id"),
+        transform(split(lower(trim(col("text"))), "\\s+"), TextOps.hash32 _).as("hashes"))
+      .select(col("doc_id"), TextOps.simhash32FromHashes(col("hashes")).as("simhash"))
   private val oSimhash =
     """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents)
       |SELECT doc_id,
@@ -579,7 +589,8 @@ object Queries {
     "q28_minhash_lsh_buckets" -> qMinhashLshBuckets,
     "q29_simhash" -> qSimhash,
     "q30_cosine_topk" -> qCosineTopK,
-    "q31_ann_lsh_buckets" -> qAnnLshBuckets
+    "q31_ann_lsh_buckets" -> qAnnLshBuckets,
+    "q32_extract_contract" -> qExtractContract
   )
 
   val oracles: Map[String, String] = Map(

@@ -82,30 +82,40 @@ object TextOps {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** k minhash values over the whitespace token set:
-    * sig_i = min over distinct tokens of hash32(token || '#' || i). */
-  def minhashSig(text: Column, k: Int): Column = {
-    val words = array_distinct(split(lower(trim(text)), "\\s+"))
+  /** k minhash values over a PRE-COMPUTED distinct-token array column:
+    * sig_i = min over tokens of hash32(token || '#' || i). Callers project
+    * [[distinctTokens]] into its own column first so the split/dedup runs
+    * once per row, not once per hash function. */
+  def minhashSigFromWords(words: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(words, w => hash32(concat(w, lit("#" + i)))))
     }: _*)
-  }
+
+  def distinctTokens(text: Column): Column =
+    array_distinct(split(lower(trim(text)), "\\s+"))
+
+  def minhashSig(text: Column, k: Int): Column =
+    minhashSigFromWords(distinctTokens(text), k)
 
   /** 32-bit simhash over whitespace tokens: bit b set iff the sum of
-    * (+1/-1 by bit b of hash32(token)) over tokens is positive. */
-  def simhash32(text: Column): Column = {
-    val words = split(lower(trim(text)), "\\s+")
+    * (+1/-1 by bit b of hash32(token)) over tokens is positive.
+    * Single md5 per token: hashes the token array once, then folds 32 bit
+    * positions over the hash array. */
+  def simhash32(text: Column): Column =
+    simhash32FromHashes(transform(split(lower(trim(text)), "\\s+"), hash32 _))
+
+  /** Simhash from a pre-computed hash array column (hash each token once —
+    * callers project the hashes first for the hot path). */
+  def simhash32FromHashes(hashes: Column): Column =
     aggregate(
       sequence(lit(0), lit(31)),
       lit(0L),
       (acc, b) => {
         // bit b of h via exact double arithmetic (h < 2^32 << 2^53)
-        val bitOf = (h: Column) => floor(h / pow(lit(2.0), b)).cast("long") % 2
-        val vote = aggregate(words, lit(0L),
-          (a, w) => a + when(bitOf(TextOps.hash32(w)) === 1, 1L).otherwise(-1L))
+        val vote = aggregate(hashes, lit(0L),
+          (a, h) => a + when(floor(h / pow(lit(2.0), b)).cast("long") % 2 === 1, 1L).otherwise(-1L))
         acc + when(vote > 0, pow(lit(2.0), b).cast("long")).otherwise(0L)
       })
-  }
 
   /** Word-shingle n-grams (space-joined) for Jaccard similarity. */
   def wordShingles(text: Column, n: Int): Column = {

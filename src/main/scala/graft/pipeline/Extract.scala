@@ -28,23 +28,70 @@ object Extract {
     ds.mapPartitions(_.map(doc => Extractor.extractDoc(doc, cfg)))
   }
 
-  /** Skew-aware path. `skewSpanThreshold` in raw spans (default 64 pages'
-    * worth). Small docs take the narrow path; giant docs are page-split. */
+  private def toSpanDoc(r: DocResult): SpanDoc =
+    SpanDoc(r.doc_id, r.spans, r.num_pages, r.quarantined, r.error)
+
+  /** Narrow path, slim output: the driver-contract span table. Use this for
+    * throughput paths — the fat DocResult encoder is the measured bottleneck. */
+  def extractSpans(ds: Dataset[RawDoc], cfg: ExtractConfig = ExtractConfig.default): Dataset[SpanDoc] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[SpanDoc]
+    ds.mapPartitions(_.map(doc => toSpanDoc(Extractor.extractDoc(doc, cfg))))
+  }
+
+  /** Skew-aware slim-output variant (same split/page-scatter plan as
+    * [[extractSkewAware]]). */
+  def extractSpansSkewAware(
+      ds: Dataset[RawDoc],
+      cfg: ExtractConfig = ExtractConfig.default,
+      skewSpanThreshold: Int = 512 * Parse.SpansPerPage,
+      pageParallelism: Int = 0): Dataset[SpanDoc] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[SpanDoc]
+    val small = ds.filter(coalesce(size(col("spans")), lit(0)) <= skewSpanThreshold)
+    val big = ds.filter(coalesce(size(col("spans")), lit(0)) > skewSpanThreshold)
+    val smallOut = extractSpans(small, cfg)
+    val units = big.flatMap { d =>
+      val spans = if (d.spans == null) Seq.empty[Span] else d.spans.filter(_ != null)
+      Parse.paginate(spans).map { case (p, ss) => (d.doc_id, p, ss) }
+    }.toDF("doc_id", "page_no", "page_spans")
+    val parallelism = if (pageParallelism > 0) pageParallelism
+      else spark.sparkContext.defaultParallelism
+    val pageResults = units.repartition(parallelism, col("doc_id"), col("page_no"))
+      .as[(String, Int, Seq[Span])]
+      .map { case (docId, pageNo, pageSpans) =>
+        (docId, pageNo, Extractor.extractPage(pageNo, pageSpans, cfg))
+      }
+    val bigOut = pageResults
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val pages = it.toVector.sortBy(_._2).map(_._3)
+        toSpanDoc(Extractor.finalizeDoc(docId, pages, cfg))
+      }
+    smallOut.unionByName(bigOut)
+  }
+
+  /** Skew-aware path. `skewSpanThreshold` in raw spans (default 512 pages'
+    * worth). Small docs take the narrow path; giant docs are page-split.
+    *
+    * Threshold guidance (measured): the page-split path costs two shuffles
+    * (scatter pages, regather per doc), so it loses to whole-doc narrow
+    * processing until a document is large enough to (a) threaten task memory
+    * or (b) straggle a stage (docs-per-core near 1). ~500 pages is the local
+    * crossover; tune per cluster. */
   def extractSkewAware(
       ds: Dataset[RawDoc],
       cfg: ExtractConfig = ExtractConfig.default,
-      skewSpanThreshold: Int = 64 * Parse.SpansPerPage,
+      skewSpanThreshold: Int = 512 * Parse.SpansPerPage,
       pageParallelism: Int = 0): Dataset[DocResult] = {
     val spark = ds.sparkSession
     import spark.implicits._
     implicit val docEnc = org.apache.spark.sql.Encoders.product[DocResult]
 
-    val sized = ds.map(d => (d, if (d.spans == null) 0 else d.spans.length))
-      .toDF("doc", "n_spans")
-    val small = sized.filter(col("n_spans") <= skewSpanThreshold)
-      .select("doc.*").as[RawDoc]
-    val big = sized.filter(col("n_spans") > skewSpanThreshold)
-      .select("doc.*").as[RawDoc]
+    // size split as a column predicate — no encoder roundtrip, and the
+    // size(spans) filter evaluates on the columnar batch before any kernel
+    val small = ds.filter(coalesce(size(col("spans")), lit(0)) <= skewSpanThreshold)
+    val big = ds.filter(coalesce(size(col("spans")), lit(0)) > skewSpanThreshold)
 
     val smallOut = extract(small, cfg)
 
@@ -80,5 +127,91 @@ object Extract {
     val spark = results.sparkSession
     import spark.implicits._
     results.filter(!_.quarantined).map(r => (r.doc_id, r.spans))
+  }
+
+  // ---------------------------------------------------------------------
+  // Array-columnar fast path.
+  //
+  // Why: stack sampling showed the Catalyst object serializer for
+  // Seq[Span] (array-of-struct through MapObjects) dominating wall time and
+  // not scaling with threads. Carrying the span stream as four parallel
+  // array columns keeps input extraction columnar (spans.kind is a codegen
+  // projection), gives the kernel plain Scala arrays, and reassembles the
+  // contract ARRAY<STRUCT> with a codegen'd transform at the boundary.
+  // ---------------------------------------------------------------------
+
+  /** Kernel wire rows for the fast path. */
+  final case class RawDocArr(doc_id: String, kinds: Array[String], texts: Array[String],
+      refs: Array[String], offsets: Array[Int])
+  final case class SpanDocArr(doc_id: String, kinds: Array[String], texts: Array[String],
+      refs: Array[String], offsets: Array[Int], num_pages: Int, quarantined: Boolean, error: String)
+
+  private def runKernelArr(d: RawDocArr, cfg: ExtractConfig): SpanDocArr = {
+    val n = if (d.kinds == null) 0 else d.kinds.length
+    val spans = new Array[Span](n)
+    var i = 0
+    while (i < n) { spans(i) = Span(d.kinds(i), d.texts(i), d.refs(i), d.offsets(i)); i += 1 }
+    val r = Extractor.extractDoc(RawDoc(d.doc_id, scala.collection.immutable.ArraySeq.unsafeWrapArray(spans)), cfg)
+    val m = r.spans.length
+    val ok = new Array[String](m); val ot = new Array[String](m); val or = new Array[String](m); val oo = new Array[Int](m)
+    var j = 0
+    r.spans.foreach { s => ok(j) = s.kind; ot(j) = s.text; or(j) = s.media_ref; oo(j) = s.offset; j += 1 }
+    SpanDocArr(r.doc_id, ok, ot, or, oo, r.num_pages, r.quarantined, r.error)
+  }
+
+  /** Fast-path extraction over the contract input table
+    * (doc_id, spans ARRAY<STRUCT<kind,text,media_ref,offset>>); returns the
+    * same shape plus counters. Plan: columnar field projection -> one narrow
+    * mapPartitions -> codegen'd struct reassembly. No shuffle. */
+  def extractSpansDF(input: org.apache.spark.sql.DataFrame,
+      cfg: ExtractConfig = ExtractConfig.default): org.apache.spark.sql.DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val arr = input.select(
+      col("doc_id").cast("string").as("doc_id"),
+      col("spans.kind").as("kinds"),
+      col("spans.text").as("texts"),
+      col("spans.media_ref").as("refs"),
+      col("spans.offset").as("offsets"))
+      .as[RawDocArr]
+    val out = arr.mapPartitions(_.map(runKernelArr(_, cfg)))
+    reassembleSpans(out.toDF())
+  }
+
+  private val SpanArraySchema = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+  /** (doc_id, kinds, texts, refs, offsets, ...) -> contract schema with a
+    * codegen'd per-element struct build. */
+  def reassembleSpans(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(
+      col("doc_id"),
+      when(size(col("kinds")) <= 0, array().cast(SpanArraySchema))
+        .otherwise(transform(sequence(lit(0), size(col("kinds")) - 1),
+          i => struct(
+            element_at(col("kinds"), i + 1).as("kind"),
+            element_at(col("texts"), i + 1).as("text"),
+            element_at(col("refs"), i + 1).as("media_ref"),
+            element_at(col("offsets"), i + 1).as("offset"))))
+        .as("spans"),
+      col("num_pages"), col("quarantined"), col("error"))
+
+  /** Production contract entry: input table -> output table, fast columnar
+    * path for typical docs + page-split path for giants beyond
+    * `skewSpanThreshold`. Both legs emit the contract schema. */
+  def extractContract(
+      input: org.apache.spark.sql.DataFrame,
+      cfg: ExtractConfig = ExtractConfig.default,
+      skewSpanThreshold: Int = 512 * Parse.SpansPerPage,
+      pageParallelism: Int = 0): org.apache.spark.sql.DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val nSpans = coalesce(size(col("spans")), lit(0))
+    val small = extractSpansDF(input.filter(nSpans <= skewSpanThreshold), cfg)
+    val bigIn = input.filter(nSpans > skewSpanThreshold)
+      .select(col("doc_id").cast("string").as("doc_id"), col("spans")).as[RawDoc]
+    val big = extractSpansSkewAware(bigIn, cfg, skewSpanThreshold = 0, pageParallelism = pageParallelism)
+      .toDF().select(col("doc_id"), col("spans").cast(SpanArraySchema).as("spans"),
+        col("num_pages"), col("quarantined"), col("error"))
+    small.unionByName(big)
   }
 }

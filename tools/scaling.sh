@@ -1,0 +1,16 @@
+#!/bin/bash
+# Scaling experiment driver (BENCH/BASELINE.md): corpus gen + one fresh JVM
+# per timed run at local[2]/local[8]/local[32]. Usage: tools/scaling.sh [nDocs]
+set -e
+cd "$(dirname "$0")/.."
+NDOCS=${1:-160000}
+CORPUS=target/scaling_corpus.parquet
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-16g}
+export SPARK_GRAFT_JVM_OPTS="${SPARK_GRAFT_JVM_OPTS:--XX:+AlwaysPreTouch}"
+echo "== gen $NDOCS docs"
+sbt -batch "runMain graft.ScalingBench gen $NDOCS $CORPUS" >/dev/null 2>&1
+for C in 2 8 32; do
+  echo "== run local[$C]"
+  sbt -batch "runMain graft.ScalingBench run $C $CORPUS" 2>/dev/null | grep -o '{"cores".*}'
+done
+echo "== update BENCH/BASELINE.md with the three JSON lines above"
