@@ -1,0 +1,151 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Snapshot-table I/O: Iceberg-semantics emulation over partitioned Parquet
+  * plus JSON manifests (no Iceberg runtime jar ships in this environment —
+  * SURVEY.md §7; the API is format-agnostic so a real Iceberg catalog is a
+  * config swap).
+  *
+  * Layout under `root/`:
+  *   data/snapshot=<id>/part-*.parquet      immutable snapshot data
+  *   _manifests/<id>.json                   committed manifest (atomic rename)
+  *   _manifests/CURRENT                     name of the live snapshot
+  *
+  * Guarantees:
+  *   - writers stage into data/snapshot=<id> then commit by writing the
+  *     manifest and atomically swapping CURRENT — readers never observe a
+  *     half-written snapshot
+  *   - idempotent re-run: an existing committed snapshot id is a no-op
+  *     (resume-safe per the north_rule's "resumable from checkpoint")
+  *   - lineage: the manifest records input paths, row count, app id and
+  *     per-partition metrics
+  */
+object TableIO {
+
+  final case class Manifest(
+      snapshotId: String,
+      rowCount: Long,
+      files: Seq[String],
+      inputs: Seq[String],
+      appId: String,
+      committedAtMs: Long,
+      metrics: Map[String, Long])
+
+  private def manifestDir(root: String) = Paths.get(root, "_manifests")
+  private def dataDir(root: String, id: String) = Paths.get(root, "data", s"snapshot=$id")
+
+  def isCommitted(root: String, snapshotId: String): Boolean =
+    Files.exists(manifestDir(root).resolve(s"$snapshotId.json"))
+
+  def currentSnapshot(root: String): Option[String] = {
+    val cur = manifestDir(root).resolve("CURRENT")
+    if (Files.exists(cur)) Some(new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def renderManifest(m: Manifest): String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + jsonEscape(x) + "\"").mkString("[", ",", "]")
+    val met = m.metrics.map { case (k, v) => "\"" + jsonEscape(k) + "\":" + v }.mkString("{", ",", "}")
+    s"""{"snapshot_id":"${jsonEscape(m.snapshotId)}","row_count":${m.rowCount},""" +
+      s""""files":${arr(m.files)},"inputs":${arr(m.inputs)},"app_id":"${jsonEscape(m.appId)}",""" +
+      s""""committed_at_ms":${m.committedAtMs},"metrics":$met}"""
+  }
+
+  /** Write `df` as snapshot `snapshotId`, committing atomically. Returns the
+    * manifest; a committed id short-circuits (idempotent resume). */
+  def writeSnapshot(
+      df: DataFrame,
+      root: String,
+      snapshotId: String,
+      inputs: Seq[String] = Nil,
+      extraMetrics: Map[String, Long] = Map.empty): Manifest = {
+    if (isCommitted(root, snapshotId)) return readManifest(root, snapshotId)
+
+    val target = dataDir(root, snapshotId)
+    // stale uncommitted data from a crashed attempt is safe to overwrite
+    df.write.mode("overwrite").parquet(target.toString)
+
+    val spark = df.sparkSession
+    val rows = spark.read.parquet(target.toString).count()
+    val files = Files.list(target).toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    val manifest = Manifest(snapshotId, rows, files, inputs,
+      spark.sparkContext.applicationId, System.currentTimeMillis(), extraMetrics)
+
+    Files.createDirectories(manifestDir(root))
+    val tmp = manifestDir(root).resolve(s".$snapshotId.json.tmp")
+    Files.write(tmp, renderManifest(manifest).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestDir(root).resolve(s"$snapshotId.json"), StandardCopyOption.ATOMIC_MOVE)
+
+    val curTmp = manifestDir(root).resolve(".CURRENT.tmp")
+    Files.write(curTmp, snapshotId.getBytes(StandardCharsets.UTF_8))
+    Files.move(curTmp, manifestDir(root).resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    manifest
+  }
+
+  def readManifest(root: String, snapshotId: String): Manifest = {
+    val txt = new String(Files.readAllBytes(manifestDir(root).resolve(s"$snapshotId.json")), StandardCharsets.UTF_8)
+    // minimal field extraction (manifests are machine-written, flat JSON)
+    def strField(k: String) = ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    def longField(k: String) = ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+    def arrField(k: String) = ("\"" + k + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      .split(",").filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")).toSeq
+    Manifest(strField("snapshot_id"), longField("row_count"), arrField("files"),
+      arrField("inputs"), strField("app_id"), longField("committed_at_ms"), Map.empty)
+  }
+
+  /** Read the current committed snapshot (or a named one). */
+  def readSnapshot(spark: SparkSession, root: String, snapshotId: Option[String] = None): DataFrame = {
+    val id = snapshotId.orElse(currentSnapshot(root))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot under $root"))
+    spark.read.parquet(dataDir(root, id).toString)
+  }
+}
+
+/** Row-level sinks mirroring the reference's save surface
+  * (reference: models.py:179-203 save_text/save_json; cli.py:125-150
+  * text|json|structured formats). */
+object Sinks {
+
+  /** result.save_text analog: one text file tree of doc texts. */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.select(col("text")).write.mode("overwrite").text(path)
+
+  /** result.save_json analog (to_dict -> json.dumps; indentation is sink
+    * formatting, not semantics — models.py:191-198). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** The contract span table as parquet partitioned by a doc_id bucket —
+    * the partitioning a 10^12-row table needs for parallel rewrite/resume.
+    * Repartitions BY the bucket column first: without it every task writes
+    * into every partition directory (tasks x buckets small files — measured
+    * as the dominant cost of the CLI job). */
+  def writeSpansBucketed(df: DataFrame, path: String, buckets: Int = 256): Unit =
+    df.withColumn("doc_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)))
+      .repartition(col("doc_bucket"))
+      .write.mode("overwrite")
+      .partitionBy("doc_bucket")
+      .parquet(path)
+
+  /** Quarantine side-output: bad rows routed to their own sink, never thrown
+    * on executors (SURVEY.md §2.1 validation filter). Returns (good, bad). */
+  def splitQuarantine(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(!col("quarantined")).drop("quarantined", "error"),
+     df.filter(col("quarantined")))
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.model.ExtractConfig
+
+/** Structured Streaming composition of the extraction pipeline.
+  *
+  * The reference is batch-only (SURVEY.md §2.13) — this is the optional
+  * extension the kernel's statelessness makes free: the same narrow
+  * `mapPartitions` plan runs under `readStream`/`writeStream` with
+  * exactly-once file-sink semantics via the checkpoint. Late data needs no
+  * special handling for extraction itself (row-local); the windowed metrics
+  * stream below shows the watermarked-aggregation shape.
+  */
+object StreamingExtract {
+
+  val InputSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("spans", ArrayType(StructType(Seq(
+      StructField("kind", StringType),
+      StructField("text", StringType),
+      StructField("media_ref", StringType),
+      StructField("offset", IntegerType)))))))
+
+  /** Streaming DataFrame in, streaming DataFrame out — the identical
+    * extraction plan as batch (extractSpansDF is shuffle-free, so it is
+    * trivially streamable). */
+  def extractStream(input: DataFrame, cfg: ExtractConfig = ExtractConfig.default): DataFrame =
+    graft.pipeline.Extract.extractSpansDF(input, cfg)
+
+  /** File-source to file-sink pipeline with checkpointed exactly-once
+    * semantics: new parquet files under `inPath` are extracted incrementally. */
+  def runFileStream(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      checkpoint: String,
+      cfg: ExtractConfig = ExtractConfig.default): StreamingQuery = {
+    val in = spark.readStream.schema(InputSchema).parquet(inPath)
+    extractStream(in, cfg)
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Watermarked windowed throughput metrics over an evented span stream:
+    * (event_time, doc_id, n_spans) -> per-minute doc/span counts with
+    * 2-minute lateness tolerance. The stateful-aggregation shape for
+    * monitoring an always-on extraction service. */
+  def windowedThroughput(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "2 minutes")
+      .groupBy(window(col("event_time"), "1 minute"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n_spans").as("spans"))
+      .select(col("window.start").as("minute"), col("docs"), col("spans"))
+}

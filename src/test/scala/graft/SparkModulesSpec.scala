@@ -1,0 +1,171 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class PipelineSparkSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def corpusDF(n: Int) = {
+    import spark.implicits._
+    spark.createDataset(graft.fixtures.Fixtures.corpus(n).toSeq).toDF()
+  }
+
+  test("extractContract == typed extract on the fixture corpus (fast-path equivalence)") {
+    import spark.implicits._
+    val input = corpusDF(60)
+    val fast = graft.pipeline.Extract.extractContract(input)
+      .selectExpr("doc_id", "coalesce(to_json(spans), '') AS j", "num_pages", "quarantined")
+      .as[(String, String, Int, Boolean)].collect().sortBy(_._1)
+    val typed = graft.pipeline.Extract.extract(input.as[graft.model.RawDoc])
+      .map(r => (r.doc_id, r.spans, r.num_pages, r.quarantined))
+      .toDF("doc_id", "spans", "num_pages", "quarantined")
+      .selectExpr("doc_id", "coalesce(to_json(spans), '') AS j", "num_pages", "quarantined")
+      .as[(String, String, Int, Boolean)].collect().sortBy(_._1)
+    // empty span arrays serialize as [] on the typed side and [] on the fast
+    // side; both must agree row by row
+    assert(fast.length == typed.length)
+    fast.zip(typed).foreach { case (f, t) => assert(f == t, s"mismatch for ${f._1}") }
+  }
+
+  test("extractSpansDF plan is shuffle-free (narrow pipeline)") {
+    val input = corpusDF(10)
+    val plan = graft.pipeline.Extract.extractSpansDF(input).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("page-split leg equals narrow leg on giants") {
+    import spark.implicits._
+    val giants = spark.createDataset((0 until 6).map(i =>
+      graft.fixtures.Fixtures.gen(graft.fixtures.Fixtures.docId("skewed_giant", i))))
+    val narrow = graft.pipeline.Extract.extractSpans(giants).collect().sortBy(_.doc_id)
+    val split = graft.pipeline.Extract.extractSpansSkewAware(giants, skewSpanThreshold = 0)
+      .collect().sortBy(_.doc_id)
+    assert(narrow.length == split.length)
+    narrow.zip(split).foreach { case (a, b) =>
+      assert(a.doc_id == b.doc_id && a.spans == b.spans && a.num_pages == b.num_pages)
+    }
+  }
+
+  test("metrics accumulators count docs/pages/spans/quarantine") {
+    import spark.implicits._
+    val m = new graft.metrics.ExtractMetrics(spark)
+    val ds = graft.pipeline.Extract.extractSpans(
+      spark.createDataset(graft.fixtures.Fixtures.corpus(40).toSeq))
+    m.observeSpanDocs(ds).write.format("noop").mode("overwrite").save()
+    val snap = m.snapshot
+    assert(snap("docs") == 40)
+    assert(snap("pages") > 0 && snap("spans") > 0)
+  }
+}
+
+class TableIOSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("snapshot write is atomic, idempotent, and readable via CURRENT") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tableio").toString
+    val df = (1 to 100).map(i => (s"d$i", i)).toDF("doc_id", "n")
+    val m1 = graft.io.TableIO.writeSnapshot(df, root, "snap-001", inputs = Seq("unit-test"))
+    assert(m1.rowCount == 100)
+    assert(graft.io.TableIO.currentSnapshot(root).contains("snap-001"))
+    // idempotent resume: same id short-circuits even with different data
+    val m2 = graft.io.TableIO.writeSnapshot(df.limit(1), root, "snap-001")
+    assert(m2.rowCount == 100)
+    // second snapshot moves CURRENT
+    graft.io.TableIO.writeSnapshot(df.limit(10), root, "snap-002")
+    assert(graft.io.TableIO.currentSnapshot(root).contains("snap-002"))
+    assert(graft.io.TableIO.readSnapshot(spark, root).count() == 10)
+    assert(graft.io.TableIO.readSnapshot(spark, root, Some("snap-001")).count() == 100)
+  }
+
+  test("quarantine split routes bad rows to the side output") {
+    val input = spark.createDataFrame(Seq(
+      ("a", false, ""), ("b", true, "boom"), ("c", false, "")))
+      .toDF("doc_id", "quarantined", "error")
+    val (good, bad) = graft.io.Sinks.splitQuarantine(input)
+    assert(good.count() == 2 && bad.count() == 1)
+    assert(!good.columns.contains("quarantined"))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("media pipeline: refs -> synthetic payloads -> deterministic features") {
+    import spark.implicits._
+    val input = spark.createDataset(Seq(
+      graft.fixtures.Fixtures.gen(graft.fixtures.Fixtures.docId("image_heavy_scan", 1)),
+      graft.fixtures.Fixtures.gen(graft.fixtures.Fixtures.docId("image_heavy_scan", 2)))).toDF()
+    val spansTable = graft.pipeline.Extract.extractContract(input)
+    val feats = graft.ops.Multimodal.mediaFeaturesForCorpus(spark, spansTable).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.n_bytes > 0))
+    assert(feats.forall(f => f.sha1.length == 40))
+    assert(feats.map(_.media_ref).distinct.length == feats.length)
+    // determinism
+    val again = graft.ops.Multimodal.mediaFeaturesForCorpus(spark, spansTable).collect()
+    assert(feats.sortBy(_.media_ref).toSeq == again.sortBy(_.media_ref).toSeq)
+  }
+
+  test("resize/frame-sample stubs keep the batch shape") {
+    val raster = graft.ops.Multimodal.decodeStub(Array.tabulate(256)(_.toByte), 16, 16)
+    val small = graft.ops.Multimodal.resizeStub(raster, 8, 8)
+    assert(small.length == 8 && small(0).length == 8)
+    assert(graft.ops.Multimodal.frameSampleStub(1000, 100, 2) == Seq(0, 200, 400, 600, 800))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("file-stream extraction: incremental parquet in, contract spans out") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    spark.createDataset(graft.fixtures.Fixtures.corpus(20).toSeq).toDF()
+      .write.mode("overwrite").parquet(in)
+
+    val q = spark.readStream
+      .schema(graft.streaming.StreamingExtract.InputSchema)
+      .parquet(in)
+    val stream = graft.streaming.StreamingExtract.extractStream(q)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    stream.awaitTermination(120000)
+    val result = spark.read.parquet(out)
+    assert(result.count() == 20)
+    assert(result.columns.toSet == Set("doc_id", "spans", "num_pages", "quarantined", "error"))
+  }
+
+  test("windowed throughput aggregation shape") {
+    import spark.implicits._
+    val events = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 00:00:10"), "d1", 5),
+      (java.sql.Timestamp.valueOf("2026-01-01 00:00:50"), "d2", 7),
+      (java.sql.Timestamp.valueOf("2026-01-01 00:01:10"), "d3", 3)
+    ).toDF("event_time", "doc_id", "n_spans")
+    val agg = graft.streaming.StreamingExtract.windowedThroughput(events)
+      .orderBy("minute").collect()
+    assert(agg.length == 2)
+    assert(agg(0).getLong(1) == 2 && agg(0).getLong(2) == 12)
+  }
+}
