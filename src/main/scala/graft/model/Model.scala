@@ -49,7 +49,18 @@ final case class TableResult(
     bbox: Seq[Double] = Seq(0d, 0d, 0d, 0d),
     confidence: Double = 1.0,
     page_number: Int = 0
-)
+) {
+  /** Dense rows x cols grid (reference: models.py:48-62 to_dataframe) —
+    * missing cells become empty strings. */
+  def toGrid: Seq[Seq[String]] = {
+    val grid = Array.fill(rows, cols)("")
+    cells.foreach { c =>
+      if (c.row >= 0 && c.row < rows && c.col >= 0 && c.col < cols)
+        grid(c.row)(c.col) = c.text
+    }
+    grid.map(_.toSeq).toSeq
+  }
+}
 
 /** Image (reference: models.py:86-106; image_path == media_ref here). */
 final case class ImageResult(
@@ -75,6 +86,12 @@ final case class PageResult(
   def text: String = text_blocks.map(_.text).mkString("\n")
 }
 
+object PageResult {
+  /** Block-type selector (reference: models.py:209-216 get_text_by_type). */
+  def textByType(page: PageResult, blockType: String): Seq[String] =
+    page.text_blocks.filter(_.block_type == blockType).map(_.text)
+}
+
 /** Document-level extraction result (reference: models.py:149-229) plus the
   * driver-facing output span projection and quarantine fields. */
 final case class DocResult(
@@ -87,7 +104,11 @@ final case class DocResult(
     num_pages: Int,
     quarantined: Boolean = false,
     error: String = ""
-)
+) {
+  /** Page-keyed lookups (reference: models.py:218-229). */
+  def tablesByPage(n: Int): Seq[TableResult] = tables.filter(_.page_number == n)
+  def imagesByPage(n: Int): Seq[ImageResult] = images.filter(_.page_number == n)
+}
 
 /** Slim wire row: the driver-contract output table
   * (doc_id, spans ARRAY<STRUCT<kind,text,media_ref,offset>>) plus counters.

@@ -422,9 +422,12 @@ object Queries {
       |FROM documents GROUP BY 1""".stripMargin
 
   private val qNgramJaccard: Q = (spark, sfDir) => {
-    val d = doc(spark, sfDir).select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("sh"))
+    import spark.implicits._
+    val d = doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, TextOps.wordShinglesKernel(t, 3)) })
+      .toDF("doc_id", "sh")
     val a = d.as("a"); val b = d.as("b")
-    a.join(b, col("a.doc_id") + 1 === col("b.doc_id"))
+    a.join(broadcast(b), col("a.doc_id") + 1 === col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
@@ -490,11 +493,13 @@ object Queries {
        |FROM bands GROUP BY band, band_key HAVING count(*) >= 2""".stripMargin
   }
 
-  private val qSimhash: Q = (spark, sfDir) =>
-    doc(spark, sfDir)
-      .select(col("doc_id"),
-        transform(split(lower(trim(col("text"))), "\\s+"), TextOps.hash32 _).as("hashes"))
-      .select(col("doc_id"), TextOps.simhash32FromHashes(col("hashes")).as("simhash"))
+  private val qSimhash: Q = (spark, sfDir) => {
+    import spark.implicits._
+    doc(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, TextOps.simhash32Kernel(t)) })
+      .toDF("doc_id", "simhash")
+  }
   private val oSimhash =
     """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS words FROM documents)
       |SELECT doc_id,
