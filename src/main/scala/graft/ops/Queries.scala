@@ -561,6 +561,92 @@ object Queries {
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
   }
 
+  /** Font-style predicates (pdf_processor.py:271-287): 'bold'/'italic'/
+    * 'oblique' containment over a derived font name. */
+  private val qFontStyle: Q = (spark, sfDir) => {
+    val fontname = when(col("doc_id") % 4 === 0, "Helvetica-Bold")
+      .when(col("doc_id") % 4 === 1, "Times-Italic")
+      .when(col("doc_id") % 4 === 2, "Garamond-BoldOblique")
+      .otherwise("Helvetica")
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      fontname.as("fontname"),
+      lower(fontname).contains("bold").as("is_bold"),
+      (lower(fontname).contains("italic") || lower(fontname).contains("oblique")).as("is_italic"))
+  }
+  private val oFontStyle =
+    """WITH f AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'Helvetica-Bold'
+      |       WHEN doc_id % 4 = 1 THEN 'Times-Italic'
+      |       WHEN doc_id % 4 = 2 THEN 'Garamond-BoldOblique'
+      |       ELSE 'Helvetica' END AS fontname FROM documents)
+      |SELECT doc_id, fontname,
+      |  contains(lower(fontname), 'bold') AS is_bold,
+      |  (contains(lower(fontname), 'italic') OR contains(lower(fontname), 'oblique')) AS is_italic
+      |FROM f""".stripMargin
+
+  /** Embedding-cosine near-duplicate detection: pairs above 0.99 among the
+    * first 200 vectors (bounded candidate set; the scale path is
+    * q31's LSH bucketing). */
+  private val qEmbeddingNearDup: Q = (spark, sfDir) => {
+    val emb = tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("id_a"), col("v").as("va"))
+    val dot = aggregate(zip_with(col("va"), col("v"), (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(col("va"), lit(0.0), (s, x) => s + x * x))
+    val nv = sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x))
+    a.join(broadcast(emb), col("id_a") < col("vec_id"))
+      .select(col("id_a"), col("vec_id").as("id_b"), round(dot / (na * nv), 6).as("cosine"))
+      .filter(col("cosine") > 0.35)
+  }
+  private val oEmbeddingNearDup =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |a AS (SELECT vec_id AS id_a, v AS va FROM e WHERE vec_id < 200),
+      |scored AS (
+      |  SELECT id_a, e.vec_id AS id_b,
+      |    round(list_sum(list_transform(range(1, len(va) + 1), i -> va[i] * v[i])) /
+      |      (sqrt(list_sum(list_transform(va, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(v, x -> x * x)))), 6) AS cosine
+      |  FROM a, e WHERE id_a < e.vec_id)
+      |SELECT * FROM scored WHERE cosine > 0.35""".stripMargin
+
+  /** Native Catalyst expression (graft.functions.TokenCountExpr, with
+    * doGenCode): token count without array materialization; values match
+    * the regex formulation so the oracle checks the codegen path. */
+  private val qTokenCountNative: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      graft.functions.Functions.token_count(col("text")).as("n_tokens"))
+  private val oTokenCountNative =
+    """SELECT doc_id,
+      |CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens
+      |FROM documents""".stripMargin
+
+  /** Typed bbox-union Aggregator (graft.functions.BBoxUnionAgg) — the
+    * reference's calculate_bbox as a distributed agg with partial combine. */
+  private val qBBoxUnionTyped: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val boxes = tbl(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"),
+        array((col("l_partkey") % 800).cast("double"), (col("l_suppkey") % 600).cast("double"),
+          (col("l_partkey") % 800).cast("double") + 10.0, (col("l_suppkey") % 600).cast("double") + 18.0).as("bbox"))
+      .as[(Long, Seq[Double])]
+    val agg = new graft.functions.BBoxUnionAgg().toColumn
+    boxes.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("box"))
+      .toDF("l_orderkey", "box")
+      .select(col("l_orderkey"), col("box.x0").as("bx0"), col("box.top").as("by0"),
+        col("box.x1").as("bx1"), col("box.bottom").as("by1"))
+  }
+  private val oBBoxUnionTyped =
+    """SELECT l_orderkey,
+      |min(CAST(l_partkey % 800 AS DOUBLE)) AS bx0, min(CAST(l_suppkey % 600 AS DOUBLE)) AS by0,
+      |max(CAST(l_partkey % 800 AS DOUBLE) + 10.0) AS bx1, max(CAST(l_suppkey % 600 AS DOUBLE) + 18.0) AS by1
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -595,7 +681,11 @@ object Queries {
     "q29_simhash" -> qSimhash,
     "q30_cosine_topk" -> qCosineTopK,
     "q31_ann_lsh_buckets" -> qAnnLshBuckets,
-    "q32_extract_contract" -> qExtractContract
+    "q32_extract_contract" -> qExtractContract,
+    "q33_font_style" -> qFontStyle,
+    "q34_embedding_neardup" -> qEmbeddingNearDup,
+    "q35_token_count_native" -> qTokenCountNative,
+    "q36_bbox_union_typed" -> qBBoxUnionTyped
   )
 
   val oracles: Map[String, String] = Map(
@@ -625,6 +715,10 @@ object Queries {
     "q27_minhash" -> oMinhash,
     "q28_minhash_lsh_buckets" -> oMinhashLshBuckets,
     "q29_simhash" -> oSimhash,
-    "q30_cosine_topk" -> oCosineTopK
+    "q30_cosine_topk" -> oCosineTopK,
+    "q33_font_style" -> oFontStyle,
+    "q34_embedding_neardup" -> oEmbeddingNearDup,
+    "q35_token_count_native" -> oTokenCountNative,
+    "q36_bbox_union_typed" -> oBBoxUnionTyped
   )
 }

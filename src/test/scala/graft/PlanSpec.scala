@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the plans we want, not just plans that pass
+  * (scan pruning, filter pushdown, broadcast joins, whole-stage codegen,
+  * partial aggregation). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+  }
+
+  test("q16 agg: column pruning reaches the parquet scan + partial aggregation") {
+    val df = ops.Queries.all("q16_agg_pushdown")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // scan must read only the 4 referenced columns
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_shipdate"), "scan reads unreferenced columns")
+    assert(plan.contains("HashAggregate"), "no hash aggregation")
+    // map-side combine: two HashAggregate nodes (partial + final)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "no partial aggregation")
+  }
+
+  test("q17 join: dimension tables broadcast, no sort-merge join") {
+    val df = ops.Queries.all("q17_broadcast_join")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast hash join")
+    assert(!plan.contains("SortMergeJoin"), "dimension join fell back to sort-merge")
+  }
+
+  test("q30 topk: vec_id filter pushed to the parquet scan") {
+    val df = ops.Queries.all("q30_cosine_topk")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]")
+      || plan.contains("LessThan(vec_id,10)"), s"filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("native TokenCountExpr participates in whole-stage codegen") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.Functions.token_count(col("text")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen stage n
+    assert(plan.contains("*(1) Project [tokencountexpr"), s"expression fell out of codegen:\n$plan")
+    // and values match the regex formulation
+    val native = df.agg(sum("n")).collect()(0).getLong(0)
+    val viaRegex = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(sum(ops.TextOps.tokenCount(col("text")))).collect()(0).getLong(0)
+    assert(native == viaRegex)
+  }
+
+  test("extraction contract plan: scan prunes to doc_id + spans only") {
+    val input = spark.read.parquet(s"$sf/lineitem.parquet") // wide table stand-in
+    val docs = graft.SparkEntry.rawDocs(spark, sf).toDF()
+    val plan = graft.pipeline.Extract.extractSpansDF(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    val _ = input
+  }
+
+  test("SQL registry: graft_* functions callable from SQL") {
+    graft.functions.Functions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT graft_token_count(' a  b c ') AS n, graft_hash32('tok') AS h, graft_simhash32('a b') AS s").collect()(0)
+    assert(r.getInt(0) == 3)
+    assert(r.getLong(1) == ops.TextOps.hash32Kernel("tok"))
+    assert(r.getLong(2) == ops.TextOps.simhash32Kernel("a b"))
+  }
+
+  test("typed BBoxUnionAgg matches groupBy min/max") {
+    import spark.implicits._
+    val boxes = Seq(
+      (1L, Seq(10.0, 5.0, 20.0, 15.0)),
+      (1L, Seq(0.0, 8.0, 12.0, 30.0)),
+      (2L, Seq(1.0, 1.0, 2.0, 2.0))).toDS()
+    val agg = new graft.functions.BBoxUnionAgg().toColumn
+    val out = boxes.groupByKey(_._1).mapValues(_._2).agg(agg.name("box"))
+      .collect().toMap
+    assert(out(1L) == graft.functions.BBoxUnionAgg.Box(0.0, 5.0, 20.0, 30.0))
+    assert(out(2L) == graft.functions.BBoxUnionAgg.Box(1.0, 1.0, 2.0, 2.0))
+  }
+}
