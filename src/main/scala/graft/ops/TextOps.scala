@@ -7,6 +7,14 @@ import org.apache.spark.sql.functions._
   * pipelines (language ID, quality scoring, token counting, fingerprinting,
   * cleaning). Pure Catalyst expressions — codegen-friendly, no UDFs — each
   * with a DuckDB-equivalent SQL form in [[Queries]].
+  *
+  * Algorithm provenance (public literature): MinHash resemblance sketches —
+  * Broder, "On the resemblance and containment of documents" (SEQUENCES
+  * 1997); banded LSH — Indyk & Motwani (STOC 1998) / Leskovec-Rajaraman-
+  * Ullman MMDS ch.3; SimHash — Charikar, "Similarity estimation techniques
+  * from rounding algorithms" (STOC 2002), applied to near-dup web corpora by
+  * Manku et al. (WWW 2007); random-hyperplane ANN bucketing follows the same
+  * Charikar construction.
   */
 object TextOps {
 

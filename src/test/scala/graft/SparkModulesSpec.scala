@@ -169,3 +169,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(agg(0).getLong(1) == 2 && agg(0).getLong(2) == 12)
   }
 }
+
+class ContractRoundTripSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("contract output schema is stable through a parquet round trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val input = spark.createDataset(graft.fixtures.Fixtures.corpus(30).toSeq).toDF()
+    val out = graft.pipeline.Extract.extractContract(input)
+    out.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      out.schema.map(f => (f.name, f.dataType.simpleString)))
+    // values survive: re-derive and compare as sorted json
+    val a = out.selectExpr("doc_id", "to_json(spans) j").as[(String, String)].collect().sortBy(_._1).toSeq
+    val b = back.selectExpr("doc_id", "to_json(spans) j").as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // and the round-tripped table feeds the pipeline again (idempotent shape):
+    // output spans ARE a valid input span table
+    val twice = graft.pipeline.Extract.extractContract(
+      back.select("doc_id", "spans").filter(org.apache.spark.sql.functions.size($"spans") > 0))
+    assert(twice.count() > 0)
+  }
+}
