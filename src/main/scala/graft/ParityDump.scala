@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.fixtures.Fixtures
+import graft.kernel.{Extractor, Parse}
+import graft.model.ExtractConfig
+
+/** Dumps, for a sample of fixture docs, (a) the derived per-page char
+  * streams / image dicts / line texts this kernel consumes and (b) the
+  * kernel's final outputs — as JSON for tools/reference_parity.py, which
+  * replays the ACTUAL reference Python (smartextractor) over the identical
+  * inputs and diffs the results. This is the reference-parity evidence
+  * beyond self-certified goldens. */
+object ParityDump {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def jstr(s: String): String = if (s == null) "null" else "\"" + esc(s) + "\""
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/parity_dump.json")
+    val perArchetype = args.lift(1).map(_.toInt).getOrElse(6)
+    val cfg = ExtractConfig.default
+
+    val docsJson = for {
+      a <- Fixtures.Archetypes.filterNot(_ == "empty_and_broken") // null-field rows: python dataclass equality differs trivially
+      i <- 0 until (if (a == "skewed_giant") 1 else perArchetype)
+    } yield {
+      val doc = Fixtures.gen(Fixtures.docId(a, i))
+      val pages = Parse.paginate(doc.spans)
+      // cap giant docs at 3 pages for the python side (slow interpreter)
+      val capped = if (pages.length > 3) pages.take(3) else pages
+      val cappedSpans = capped.flatMap(_._2)
+      val pagesJson = capped.map { case (p, spans) =>
+        val textSpans = spans.filter(s => s.kind == null || s.kind != "image")
+        val chars = textSpans.flatMap(Parse.deriveChars)
+        val charsJson = chars.map(c =>
+          s"""{"text":${jstr(c.text)},"x0":${c.x0},"x1":${c.x1},"top":${c.top},"bottom":${c.bottom},"fontname":${jstr(c.fontname)},"size":${c.size}}""").mkString("[", ",", "]")
+        val images = spans.filter(_.kind == "image").map(Parse.deriveImage)
+        val imagesJson = images.map(im =>
+          s"""{"bbox":[${im.bbox.mkString(",")}],"width":${im.width},"height":${im.height},"type":${jstr(im.imageType)},"ref":${jstr(im.mediaRef)}}""").mkString("[", ",", "]")
+        val tables = Parse.extractTablesLines(textSpans.map(s => Option(s.text).getOrElse("")))
+        val tablesJson = tables.map(t =>
+          s"""{"rows":${t.rows},"cols":${t.cols},"data":${t.data.map(r => r.map(jstr).mkString("[", ",", "]")).mkString("[", ",", "]")}}""").mkString("[", ",", "]")
+        s"""{"page":$p,"width":${Parse.PageWidth},"height":${Parse.PageHeight},"chars":$charsJson,"images":$imagesJson,"tables":$tablesJson}"""
+      }.mkString("[", ",", "]")
+
+      // kernel output on the SAME capped span set
+      val r = Extractor.extractDoc(graft.model.RawDoc(doc.doc_id, cappedSpans), cfg)
+      val pagesOut = r.pages.map { pg =>
+        val blocks = pg.text_blocks.map(b =>
+          s"""{"text":${jstr(b.text)},"type":${jstr(b.block_type)}}""").mkString("[", ",", "]")
+        s"""{"page_number":${pg.page_number},"column_processed":${pg.column_processed},"blocks":$blocks}"""
+      }.mkString("[", ",", "]")
+      val tablesOut = r.tables.map(t =>
+        s"""{"rows":${t.rows},"cols":${t.cols},"page":${t.page_number},"cells":${t.cells.map(c => s"""{"text":${jstr(c.text)},"row":${c.row},"col":${c.col},"header":${c.is_header}}""").mkString("[", ",", "]")}}""").mkString("[", ",", "]")
+      val spansOut = r.spans.map(s =>
+        s"""{"kind":${jstr(s.kind)},"text":${jstr(s.text)},"ref":${jstr(s.media_ref)},"offset":${s.offset}}""").mkString("[", ",", "]")
+      s"""{"doc_id":${jstr(doc.doc_id)},"pages":$pagesJson,""" +
+        s""""out":{"pages":$pagesOut,"text":${jstr(r.text)},"tables":$tablesOut,"spans":$spansOut}}"""
+    }
+    Files.writeString(Paths.get(out), docsJson.mkString("[", ",\n", "]"))
+    println(s"wrote ${docsJson.length} docs to $out")
+  }
+}
