@@ -647,6 +647,50 @@ object Queries {
       |max(CAST(l_partkey % 800 AS DOUBLE) + 10.0) AS bx1, max(CAST(l_suppkey % 600 AS DOUBLE) + 18.0) AS by1
       |FROM lineitem GROUP BY l_orderkey""".stripMargin
 
+  /** Salted two-phase aggregation: the hot-key pattern for low-cardinality
+    * group-bys at 100 TB (every doc shares lang='en' here — maximal skew).
+    * Phase 1 spreads each key over 16 salt shards (map-side + 16-way
+    * shuffle), phase 2 re-aggregates the tiny shard table. Result identical
+    * to the direct group-by, which is the oracle. */
+  private val qSaltedAgg: Q = (spark, sfDir) => {
+    val salted = doc(spark, sfDir)
+      .select(col("lang"), (col("doc_id") % 16).as("salt"), length(col("text")).as("len"))
+      .groupBy("lang", "salt")
+      .agg(count(lit(1)).as("cnt"), sum("len").as("len_sum"))
+    salted.groupBy("lang")
+      .agg(sum("cnt").as("n_docs"), sum("len_sum").as("total_chars"))
+  }
+  private val oSaltedAgg =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** Temporal sessionization: gaps-and-islands over event time — new session
+    * when the per-user gap exceeds 30 minutes. */
+  private val qSessionize: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tbl(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("gap_start",
+        when(lag("ts", 1).over(w).isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("gap_start").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "session_id")
+  }
+  private val oSessionize =
+    """WITH flagged AS (
+      |  SELECT event_id, user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |          OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+      |         THEN 1 ELSE 0 END AS gap_start
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(sum(gap_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |FROM flagged""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -685,7 +729,9 @@ object Queries {
     "q33_font_style" -> qFontStyle,
     "q34_embedding_neardup" -> qEmbeddingNearDup,
     "q35_token_count_native" -> qTokenCountNative,
-    "q36_bbox_union_typed" -> qBBoxUnionTyped
+    "q36_bbox_union_typed" -> qBBoxUnionTyped,
+    "q37_salted_agg" -> qSaltedAgg,
+    "q38_sessionize" -> qSessionize
   )
 
   val oracles: Map[String, String] = Map(
@@ -719,6 +765,8 @@ object Queries {
     "q33_font_style" -> oFontStyle,
     "q34_embedding_neardup" -> oEmbeddingNearDup,
     "q35_token_count_native" -> oTokenCountNative,
-    "q36_bbox_union_typed" -> oBBoxUnionTyped
+    "q36_bbox_union_typed" -> oBBoxUnionTyped,
+    "q37_salted_agg" -> oSaltedAgg,
+    "q38_sessionize" -> oSessionize
   )
 }
