@@ -98,6 +98,70 @@ object TableIO {
     manifest
   }
 
+  // ---------------------------------------------------------------------
+  // Partition-level resume: the snapshot is written as doc_bucket
+  // partitions, each committed with its own marker; a re-run writes ONLY
+  // the missing buckets (dynamic partition overwrite), so any partition
+  // resumes idempotently after a mid-job failure (north_rule).
+  // ---------------------------------------------------------------------
+
+  private def bucketMarkerDir(root: String, id: String) = manifestDir(root).resolve(s"buckets-$id")
+
+  def committedBuckets(root: String, snapshotId: String): Set[Int] = {
+    val dir = bucketMarkerDir(root, snapshotId)
+    if (!Files.exists(dir)) Set.empty
+    else Files.list(dir).toArray.map(_.toString)
+      .flatMap(p => "bucket-(\\d+)\\.done$".r.findFirstMatchIn(p).map(_.group(1).toInt)).toSet
+  }
+
+  /** Write `df` (must carry doc_id) as snapshot partitions bucketed by
+    * xxhash64(doc_id) % buckets; re-runs skip committed buckets and rewrite
+    * only missing ones. Commit the snapshot manifest once all buckets are in. */
+  def writeSnapshotResumable(
+      df: DataFrame,
+      root: String,
+      snapshotId: String,
+      buckets: Int = 64,
+      inputs: Seq[String] = Nil): Manifest = {
+    if (isCommitted(root, snapshotId)) return readManifest(root, snapshotId)
+    val spark = df.sparkSession
+    val done = committedBuckets(root, snapshotId)
+    val missing = (0 until buckets).filterNot(done)
+    val target = dataDir(root, snapshotId)
+    if (missing.nonEmpty) {
+      val withBucket = df
+        .withColumn("doc_bucket", pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
+        .filter(col("doc_bucket").isin(missing: _*))
+        .repartition(col("doc_bucket"))
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try withBucket.write.mode("overwrite").partitionBy("doc_bucket").parquet(target.toString)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      Files.createDirectories(bucketMarkerDir(root, snapshotId))
+      missing.foreach { b =>
+        Files.write(bucketMarkerDir(root, snapshotId).resolve(s"bucket-$b.done"), Array.empty[Byte])
+      }
+    }
+    // all buckets present -> commit the snapshot manifest atomically
+    val rows = spark.read.parquet(target.toString).count()
+    val files = Files.walk(target).toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+    val manifest = Manifest(snapshotId, rows, files, inputs,
+      spark.sparkContext.applicationId, System.currentTimeMillis(),
+      Map("buckets" -> buckets.toLong, "resumed_buckets" -> (buckets - missing.length).toLong))
+    Files.createDirectories(manifestDir(root))
+    val tmp = manifestDir(root).resolve(s".$snapshotId.json.tmp")
+    Files.write(tmp, renderManifest(manifest).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestDir(root).resolve(s"$snapshotId.json"), StandardCopyOption.ATOMIC_MOVE)
+    val curTmp = manifestDir(root).resolve(".CURRENT.tmp")
+    Files.write(curTmp, snapshotId.getBytes(StandardCharsets.UTF_8))
+    Files.move(curTmp, manifestDir(root).resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    manifest
+  }
+
   def readManifest(root: String, snapshotId: String): Manifest = {
     val txt = new String(Files.readAllBytes(manifestDir(root).resolve(s"$snapshotId.json")), StandardCharsets.UTF_8)
     // minimal field extraction (manifests are machine-written, flat JSON)

@@ -193,3 +193,44 @@ class ContractRoundTripSpec extends AnyFunSuite {
     assert(twice.count() > 0)
   }
 }
+
+class ResumableSnapshotSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("bucket-level resume: committed buckets are skipped, missing ones rewritten") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    val df = (0 until 2000).map(i => (s"doc-$i", i)).toDF("doc_id", "n")
+    val buckets = 16
+
+    // simulate a crashed first attempt: pre-commit markers for buckets 0..5
+    // with their data written, nothing else
+    val pre = df.withColumn("doc_bucket",
+        pmod(xxhash64(col("doc_id")), lit(buckets)).cast("int"))
+      .filter(col("doc_bucket") < 6)
+    pre.repartition(col("doc_bucket")).write.mode("overwrite")
+      .partitionBy("doc_bucket").parquet(s"$root/data/snapshot=s1")
+    val markers = java.nio.file.Paths.get(root, "_manifests", "buckets-s1")
+    java.nio.file.Files.createDirectories(markers)
+    (0 until 6).foreach(b => java.nio.file.Files.write(markers.resolve(s"bucket-$b.done"), Array.empty[Byte]))
+    val mtimes0 = (0 until 6).map { b =>
+      val d = java.nio.file.Paths.get(s"$root/data/snapshot=s1/doc_bucket=$b")
+      b -> java.nio.file.Files.list(d).toArray.map(_.toString).sorted.toSeq
+    }.toMap
+
+    // resume: must complete the remaining buckets without touching 0..5
+    val m = graft.io.TableIO.writeSnapshotResumable(df, root, "s1", buckets)
+    assert(m.rowCount == 2000)
+    assert(m.metrics("resumed_buckets") == 6L)
+    (0 until 6).foreach { b =>
+      val d = java.nio.file.Paths.get(s"$root/data/snapshot=s1/doc_bucket=$b")
+      val now = java.nio.file.Files.list(d).toArray.map(_.toString).sorted.toSeq
+      assert(now == mtimes0(b), s"bucket $b was rewritten")
+    }
+    // full table readable and complete
+    assert(graft.io.TableIO.readSnapshot(spark, root).count() == 2000)
+    // idempotent: second call is a committed-snapshot no-op
+    val m2 = graft.io.TableIO.writeSnapshotResumable(df.limit(1), root, "s1", buckets)
+    assert(m2.rowCount == 2000)
+  }
+}
