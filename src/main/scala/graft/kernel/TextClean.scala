@@ -53,11 +53,23 @@ object TextClean {
         p.copy(text_blocks = p.text_blocks.map(b =>
           if (b.text != null && b.text.nonEmpty) b.copy(text = cleanLinePreserving(b.text)) else b))))
     } else {
-      result.copy(
-        text = cleanLinePreserving(result.text),
-        pages = result.pages.map(p =>
-          p.copy(text_blocks = p.text_blocks.map(b =>
-            if (b.text != null && b.text.nonEmpty) b.copy(text = cleanLinePreserving(b.text)) else b))))
+      val cleanedPages = result.pages.map(p =>
+        p.copy(text_blocks = p.text_blocks.map(b =>
+          if (b.text != null && b.text.nonEmpty) b.copy(text = cleanLinePreserving(b.text)) else b)))
+      // cleaned(join(blocks, "\n\n")) == join(cleaned blocks, "\n\n"):
+      // cleaning is per-line and the join boundaries are newlines, so the
+      // merged text is rebuilt from the already-cleaned blocks instead of
+      // re-scanning the (potentially multi-MB) merged string. Single-column
+      // docs only — multi-column result.text is deliberately left raw above
+      // (text_processor.py:49-60). Equivalence asserted in TextCleanSpec.
+      // inclusion is decided on the RAW text (the reference merged before
+      // cleaning): a block that cleans to "" still contributes its element
+      val rebuilt = result.pages.zip(cleanedPages).flatMap { case (raw, cleaned) =>
+        raw.text_blocks.zip(cleaned.text_blocks).collect {
+          case (r, c) if r.text != null && r.text.nonEmpty => if (c.text == null) "" else c.text
+        }
+      }.mkString("\n\n")
+      result.copy(text = rebuilt, pages = cleanedPages)
     }
   }
 

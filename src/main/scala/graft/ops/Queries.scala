@@ -691,6 +691,27 @@ object Queries {
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |FROM flagged""".stripMargin
 
+  /** Gopher-style repetition quality filters (dup word / dup 2-gram
+    * fractions) — public pretraining-filter heuristics (Rae et al. 2021). */
+  private val qRepetitionFilter: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      TextOps.repetitionRatios(col("text")).as("rep"))
+      .select(col("doc_id"), col("rep.dup_word_frac"), col("rep.dup_2gram_frac"),
+        (col("rep.dup_word_frac") < 0.9 && col("rep.dup_2gram_frac") < 0.9).as("keep"))
+  private val oRepetitionFilter =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents),
+      |m AS (SELECT doc_id, words, len(words) AS n,
+      |  CASE WHEN len(words) > 0
+      |    THEN round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) ELSE 0.0 END AS dup_word_frac,
+      |  CASE WHEN len(words) >= 2
+      |    THEN round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(words)),
+      |      i -> words[i] || ' ' || words[i+1]))) AS DOUBLE) / (len(words) - 1), 4) ELSE 0.0 END AS dup_2gram_frac
+      |  FROM w)
+      |SELECT doc_id, dup_word_frac, dup_2gram_frac,
+      |  (dup_word_frac < 0.9 AND dup_2gram_frac < 0.9) AS keep
+      |FROM m""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -731,7 +752,8 @@ object Queries {
     "q35_token_count_native" -> qTokenCountNative,
     "q36_bbox_union_typed" -> qBBoxUnionTyped,
     "q37_salted_agg" -> qSaltedAgg,
-    "q38_sessionize" -> qSessionize
+    "q38_sessionize" -> qSessionize,
+    "q39_repetition_filter" -> qRepetitionFilter
   )
 
   val oracles: Map[String, String] = Map(
@@ -767,6 +789,7 @@ object Queries {
     "q35_token_count_native" -> oTokenCountNative,
     "q36_bbox_union_typed" -> oBBoxUnionTyped,
     "q37_salted_agg" -> oSaltedAgg,
-    "q38_sessionize" -> oSessionize
+    "q38_sessionize" -> oSessionize,
+    "q39_repetition_filter" -> oRepetitionFilter
   )
 }

@@ -191,6 +191,22 @@ object TextOps {
     }
   }
 
+  /** Gopher-style repetition ratios (Rae et al. 2021, public quality
+    * filters): duplicate-word fraction and duplicate-2-gram fraction.
+    * element_at-based gram construction is O(n) (slice-based would be
+    * O(n^2)). Returns struct(dup_word_frac, dup_2gram_frac). */
+  def repetitionRatios(text: Column): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    val n = size(words)
+    val dupWord = when(n > 0,
+      round(lit(1.0) - size(array_distinct(words)).cast("double") / n, 4)).otherwise(0.0)
+    val grams = transform(sequence(lit(0), greatest(n - 2, lit(0))),
+      i => concat(element_at(words, i + 1), lit(" "), element_at(words, i + 2)))
+    val dup2 = when(n >= 2,
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / (n - 1), 4)).otherwise(0.0)
+    struct(dupWord.as("dup_word_frac"), dup2.as("dup_2gram_frac"))
+  }
+
   /** Jaccard similarity of two string arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
