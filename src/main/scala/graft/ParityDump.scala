@@ -38,7 +38,7 @@ object ParityDump {
       val doc = Fixtures.gen(Fixtures.docId(a, i))
       val pages = Parse.paginate(doc.spans)
       // cap giant docs at 3 pages for the python side (slow interpreter)
-      val capped = if (pages.length > 3) pages.take(3) else pages
+      val capped = if (pages.length > 6) pages.take(6) else pages
       val cappedSpans = capped.flatMap(_._2)
       val pagesJson = capped.map { case (p, spans) =>
         val textSpans = spans.filter(s => s.kind == null || s.kind != "image")

@@ -27,7 +27,7 @@ object ScalingBench {
       // files; the 128 MB default packs them into ~3 read partitions and
       // starves the narrow mapPartitions stage of parallelism (identical at
       // both levels — on a real 100 TB table the file count provides this)
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4m"))
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
