@@ -65,7 +65,22 @@ object ParityDump {
         s"""{"rows":${t.rows},"cols":${t.cols},"page":${t.page_number},"cells":${t.cells.map(c => s"""{"text":${jstr(c.text)},"row":${c.row},"col":${c.col},"header":${c.is_header}}""").mkString("[", ",", "]")}}""").mkString("[", ",", "]")
       val spansOut = r.spans.map(s =>
         s"""{"kind":${jstr(s.kind)},"text":${jstr(s.text)},"ref":${jstr(s.media_ref)},"offset":${s.offset}}""").mkString("[", ",", "]")
+      // adaptive engines: page-0 line blocks + words (their inputs) and this
+      // kernel's outputs, for the python-side replay of the reference's
+      // adaptive extractors
+      val page0 = cappedSpans.filter(s => Parse.pageOf(s.offset) == 0)
+      val fitzBlocks = graft.kernel.AdaptiveFitz.lineBlocks(page0)
+      val fitzBlocksJson = fitzBlocks.map(b =>
+        s"""{"text":${jstr(b.text)},"x0":${b.x0},"y0":${b.y0},"x1":${b.x1},"y1":${b.y1}}""").mkString("[", ",", "]")
+      val fitzText = graft.kernel.AdaptiveFitz.extractText(cappedSpans)
+      val words = graft.kernel.AdaptivePlumber.extractWords(page0)
+      val wordsJson = words.map(w =>
+        s"""{"text":${jstr(w.text)},"x0":${w.x0},"x1":${w.x1},"top":${w.top}}""").mkString("[", ",", "]")
+      val plumberText = graft.kernel.AdaptivePlumber.extractFromMultiColumnAuto(page0, 2)
+
       s"""{"doc_id":${jstr(doc.doc_id)},"pages":$pagesJson,""" +
+        s""""fitz":{"blocks":$fitzBlocksJson,"text":${jstr(fitzText)}},""" +
+        s""""plumber":{"words":$wordsJson,"text":${jstr(plumberText)}},""" +
         s""""out":{"pages":$pagesOut,"text":${jstr(r.text)},"tables":$tablesOut,"spans":$spansOut}}"""
     }
     Files.writeString(Paths.get(out), docsJson.mkString("[", ",\n", "]"))

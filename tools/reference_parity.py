@@ -28,6 +28,11 @@ loguru.logger = _Logger()
 sys.modules["loguru"] = loguru
 for name in ("PyPDF2", "pdfplumber", "fitz"):
     sys.modules[name] = types.ModuleType(name)
+# adaptive_pdfplumber type-annotates with pdfplumber.page.Page (module scope)
+page_mod = types.ModuleType("pdfplumber.page")
+page_mod.Page = object
+sys.modules["pdfplumber"].page = page_mod
+sys.modules["pdfplumber.page"] = page_mod
 
 # sklearn stub: Lloyd's algorithm with k-means++ init (numpy RandomState).
 # NOT sklearn-bit-identical — SURVEY.md §7.3: in 1-D with the separations our
@@ -247,9 +252,105 @@ def run_reference(doc):
     }
 
 
+adaptive_pdfitz = load("smartextractor.adaptive_pdfitz", f"{REF}/adaptive_pdfitz.py",
+                       "smartextractor")
+adaptive_pdfplumber = load("smartextractor.adaptive_pdfplumber", f"{REF}/adaptive_pdfplumber.py",
+                           "smartextractor")
+
+
+def run_reference_fitz(blocks_in, page_width=800.0):
+    """Replays AdaptiveFitzExtractor._extract_page_text over line blocks
+    (adaptive_pdfitz.py:32-47) — the whole engine minus the fitz parse."""
+    ext = adaptive_pdfitz.AdaptiveFitzExtractor()
+    blocks = [
+        {"text": b["text"], "bbox": (b["x0"], b["y0"], b["x1"], b["y1"]),
+         "x0": b["x0"], "y0": b["y0"], "x1": b["x1"], "y1": b["y1"],
+         "width": b["x1"] - b["x0"], "height": b["y1"] - b["y0"]}
+        for b in blocks_in
+    ]
+    if not blocks:
+        return ""
+    layout = ext._detect_layout_type(blocks, page_width)
+    if layout == "single_column":
+        return ext._extract_single_column(blocks)
+    return ext._extract_multi_column(blocks, page_width)
+
+
+class FakeColumnPage:
+    """pdfplumber crop+extract_text stand-in for the plumber engine's column
+    pass (adaptive_pdfplumber.py:140-155). Line assembly (group words by top
+    within tolerance 3, join with spaces/newlines) mirrors the engine's
+    documented word->text rule; the k-selection / separation / split-point
+    logic under test is the reference's own code."""
+
+    def __init__(self, words):
+        self.words = words
+
+    def extract_text(self, x_tolerance=3, y_tolerance=3):
+        ws = sorted(self.words, key=lambda w: (w["top"], w["x0"]))
+        lines, cur, cur_top = [], [], None
+        for w in ws:
+            if cur_top is None or abs(w["top"] - cur_top) <= 3.0:
+                cur.append(w["text"])
+                if cur_top is None:
+                    cur_top = w["top"]
+            else:
+                lines.append(" ".join(cur))
+                cur, cur_top = [w["text"]], w["top"]
+        if cur:
+            lines.append(" ".join(cur))
+        return "\n".join(lines)
+
+
+class FakePlumberPage:
+    def __init__(self, words, width=800.0, height=600.0):
+        self.words = words
+        self.width = width
+        self.bbox = (0, 0, width, height)
+
+    def extract_words(self, x_tolerance=3, y_tolerance=3, keep_blank_chars=False):
+        return self.words
+
+    def extract_text(self, x_tolerance=3, y_tolerance=3):
+        return FakeColumnPage(self.words).extract_text()
+
+    def crop(self, bbox):
+        x0, _, x1, _ = bbox
+        return FakeColumnPage([w for w in self.words
+                               if x0 <= (w["x0"] + w["x1"]) / 2 < x1])
+
+
+def run_reference_plumber(words_in):
+    """Replays AdaptivePlumberExtractor._extract_text_from_multi_column_auto
+    (adaptive_pdfplumber.py:49-155) over the derived words."""
+    ext = adaptive_pdfplumber.AdaptivePlumberExtractor()
+    words = [{"text": w["text"], "x0": w["x0"], "x1": w["x1"], "top": w["top"]}
+             for w in words_in]
+    page = FakePlumberPage(words)
+    return ext._extract_text_from_multi_column_auto(page, 2)
+
+
 def main():
     dump = json.load(open(sys.argv[1] if len(sys.argv) > 1 else "/tmp/parity_dump.json"))
     fails = 0
+    adaptive_checked = 0
+    for doc in dump:
+        if "fitz" in doc:
+            rf = run_reference_fitz(doc["fitz"]["blocks"])
+            if rf != doc["fitz"]["text"]:
+                fails += 1
+                print(f"DIFF-FITZ {doc['doc_id']}: ref={rf[:80]!r} scala={doc['fitz']['text'][:80]!r}")
+            else:
+                adaptive_checked += 1
+        if "plumber" in doc:
+            rp = run_reference_plumber(doc["plumber"]["words"])
+            if rp != doc["plumber"]["text"]:
+                fails += 1
+                print(f"DIFF-PLUMBER {doc['doc_id']}: ref={rp[:80]!r} scala={doc['plumber']['text'][:80]!r}")
+            else:
+                adaptive_checked += 1
+    if adaptive_checked:
+        print(f"adaptive engines: {adaptive_checked} replays matched")
     for doc in dump:
         ref = run_reference(doc)
         got = doc["out"]
