@@ -29,6 +29,8 @@ object ScalingBench {
       // both levels — on a real 100 TB table the file count provides this)
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4m"))
       .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
