@@ -17,7 +17,8 @@ object Fixtures {
 
   val Archetypes: Vector[String] = Vector(
     "two_column_text", "single_column_contract", "tabular_report",
-    "image_heavy_scan", "three_column_text", "skewed_giant", "empty_and_broken")
+    "image_heavy_scan", "three_column_text", "skewed_giant", "empty_and_broken",
+    "mixed_layout") // composite page: table + two-column rows + image together
 
   // connector-free word list (no substring in {and,or,but,however,therefore,
   // thus,hence}) -> exercises the clean single-gap split path
@@ -184,6 +185,20 @@ object Fixtures {
           if (pg % 7 == 3) line = tableAt(base, line, 3)
           (line until P - 2).foreach { i => bodyLine(base + i) }
           if (pg % 11 == 5) addImage(base + P - 2, pg, 0)
+          addText(base + P - 1, footer(pg))
+        }
+
+      case "mixed_layout" =>
+        val nPages = 1 + ((seed >>> 8) % 2).toInt
+        (0 until nPages).foreach { pg =>
+          val base = pg * P
+          addText(base, header(pg))
+          if (pg == 0) addText(base + 1, "Mixed Layout Digest")
+          var line = 2
+          line = tableAt(base, line, 2)
+          (line until P - 4).foreach { i => twoColRow(base + i, clean = i % 2 == 1) }
+          addImage(base + P - 3, pg, 0)
+          addText(base + P - 2, words(rng, VetoWords, 40))
           addText(base + P - 1, footer(pg))
         }
 
