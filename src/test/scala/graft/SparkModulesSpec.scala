@@ -234,3 +234,31 @@ class ResumableSnapshotSpec extends AnyFunSuite {
     assert(m2.rowCount == 2000)
   }
 }
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("json-lines and binaryFile sources produce the same extraction as parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sources")
+    val docs = graft.fixtures.Fixtures.corpus(12).toSeq
+    val df = spark.createDataset(docs).toDF()
+    df.write.mode("overwrite").parquet(s"$dir/p")
+    df.write.mode("overwrite").json(s"$dir/j")
+    // binary files: one serialized doc per file
+    val binDir = java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/b"))
+    df.selectExpr("doc_id", "to_json(struct(doc_id, spans)) AS j").as[(String, String)]
+      .collect().foreach { case (id, json) =>
+        java.nio.file.Files.writeString(binDir.resolve(s"$id.doc.json"), json)
+      }
+    def spansOf(src: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      src.selectExpr("doc_id", "coalesce(to_json(spans),'') AS j")
+        .as[(String, String)].collect().sortBy(_._1).toSeq
+    val viaParquet = spansOf(graft.io.Sources.extractFrom(spark, s"$dir/p", "parquet"))
+    val viaJson = spansOf(graft.io.Sources.extractFrom(spark, s"$dir/j", "json"))
+    val viaBinary = spansOf(graft.io.Sources.extractFrom(spark, s"$dir/b", "binary"))
+    assert(viaParquet.nonEmpty)
+    assert(viaJson == viaParquet)
+    assert(viaBinary == viaParquet)
+  }
+}
