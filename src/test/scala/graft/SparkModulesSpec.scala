@@ -48,16 +48,19 @@ class PipelineSparkSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
-  test("page-split leg equals narrow leg on giants") {
+  test("page-split leg equals narrow leg across every archetype") {
     import spark.implicits._
-    val giants = spark.createDataset((0 until 6).map(i =>
-      graft.fixtures.Fixtures.gen(graft.fixtures.Fixtures.docId("skewed_giant", i))))
-    val narrow = graft.pipeline.Extract.extractSpans(giants).collect().sortBy(_.doc_id)
-    val split = graft.pipeline.Extract.extractSpansSkewAware(giants, skewSpanThreshold = 0)
+    val docs = graft.fixtures.Fixtures.Archetypes.flatMap(a =>
+      (0 until 4).map(i => graft.fixtures.Fixtures.gen(graft.fixtures.Fixtures.docId(a, i))))
+    val ds = spark.createDataset(docs.toSeq)
+    val narrow = graft.pipeline.Extract.extractSpans(ds).collect().sortBy(_.doc_id)
+    // threshold 0: EVERY non-empty doc takes the page-split path
+    val split = graft.pipeline.Extract.extractSpansSkewAware(ds, skewSpanThreshold = 0)
       .collect().sortBy(_.doc_id)
     assert(narrow.length == split.length)
     narrow.zip(split).foreach { case (a, b) =>
-      assert(a.doc_id == b.doc_id && a.spans == b.spans && a.num_pages == b.num_pages)
+      assert(a.doc_id == b.doc_id && a.spans == b.spans && a.num_pages == b.num_pages,
+        s"page-split divergence on ${a.doc_id}")
     }
   }
 
