@@ -26,16 +26,48 @@ object ParityDump {
 
   private def jstr(s: String): String = if (s == null) "null" else "\"" + esc(s) + "\""
 
+  /** Adversarial non-fixture docs: random words, random gap runs right at
+    * the guard thresholds (15%/20% width), random pipes/rule lines, random
+    * centered/numeric lines — inputs the fixture generator never produces,
+    * to fuzz the parity boundary conditions. */
+  private def fuzzDoc(i: Int): graft.model.RawDoc = {
+    val rnd = new scala.util.Random(777L * (i + 1))
+    val words = Vector("or", "and", "a", "bb", "ccc", "thus", "qq", "zzzz", "mn", "Page", "Header", "12", "©", "NOTE")
+    def line(): String = {
+      val sb = new StringBuilder
+      if (rnd.nextInt(5) == 0) sb ++= (" " * (1 + rnd.nextInt(45))) // leading gap/spaces
+      val nChunks = 1 + rnd.nextInt(5)
+      (0 until nChunks).foreach { c =>
+        if (c > 0) sb ++= (" " * (1 + rnd.nextInt(28))) // gaps hover around the 15/16 and 20/21 char thresholds
+        val nw = 1 + rnd.nextInt(4)
+        sb ++= (0 until nw).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+      }
+      if (rnd.nextInt(6) == 0) "| " + sb.toString.trim.take(20) + " | " + rnd.nextInt(99) + " |"
+      else if (rnd.nextInt(9) == 0) "|----|----|"
+      else sb.toString
+    }
+    val nSpans = 3 + rnd.nextInt(40)
+    val spans = (0 until nSpans).map { j =>
+      if (rnd.nextInt(8) == 0) graft.model.Span("image", "", s"m://$i/$j", j)
+      else graft.model.Span("text", line(), "", j)
+    }
+    graft.model.RawDoc(f"fuzzdoc-$i%04d", spans)
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/parity_dump.json")
     val perArchetype = args.lift(1).map(_.toInt).getOrElse(6)
+    val nFuzz = args.lift(2).map(_.toInt).getOrElse(0)
     val cfg = ExtractConfig.default
 
-    val docsJson = for {
+    val fixtureDocs = for {
       a <- Fixtures.Archetypes.filterNot(_ == "empty_and_broken") // null-field rows: python dataclass equality differs trivially
       i <- 0 until (if (a == "skewed_giant") 1 else perArchetype)
-    } yield {
-      val doc = Fixtures.gen(Fixtures.docId(a, i))
+    } yield Fixtures.gen(Fixtures.docId(a, i))
+    val allDocs = fixtureDocs ++ (0 until nFuzz).map(fuzzDoc)
+
+    val docsJson = for (doc0 <- allDocs) yield {
+      val doc = doc0
       val pages = Parse.paginate(doc.spans)
       // cap giant docs at 3 pages for the python side (slow interpreter)
       val capped = if (pages.length > 6) pages.take(6) else pages

@@ -45,6 +45,61 @@ cluster_mod = types.ModuleType("sklearn.cluster")
 metrics_mod = types.ModuleType("sklearn.metrics")
 
 
+import os
+
+# GRAFT_KMEANS=exact -> the stub computes the EXACT optimal 1-D k-means
+# (identical to the Scala DP). This factors the comparison: in exact mode,
+# every divergence would be a genuine logic bug (expected: 0 diffs); in
+# lloyd mode (default), residual diffs quantify how sensitive ambiguous
+# inputs are to the k-means implementation choice — the one component
+# SURVEY.md §7.3 documents as non-replicable (sklearn's seeded restarts).
+KMEANS_MODE = os.environ.get("GRAFT_KMEANS", "lloyd")
+
+
+def _exact_kmeans_1d(X, k):
+    order = np.argsort(X, kind="stable")
+    xs = X[order]
+    n = len(xs)
+    k = min(k, n)
+    ps = np.concatenate([[0.0], np.cumsum(xs)])
+    ps2 = np.concatenate([[0.0], np.cumsum(xs * xs)])
+
+    def sse(a, b):
+        m = b - a
+        if m <= 1:
+            return 0.0
+        s = ps[b] - ps[a]
+        return max(0.0, (ps2[b] - ps2[a]) - s * s / m)
+
+    INF = float("inf")
+    dp = [[INF] * (n + 1) for _ in range(k + 1)]
+    cut = [[0] * (n + 1) for _ in range(k + 1)]
+    dp[0][0] = 0.0
+    for c in range(1, k + 1):
+        for j in range(c, n + 1):
+            for a in range(c - 1, j):
+                cost = dp[c - 1][a] + sse(a, j)
+                if cost < dp[c][j] - 1e-12:
+                    dp[c][j] = cost
+                    cut[c][j] = a
+    bounds = [0] * (k + 1)
+    bounds[k] = n
+    j = n
+    for c in range(k, 0, -1):
+        a = cut[c][j]
+        bounds[c - 1] = a
+        j = a
+    labels_sorted = np.zeros(n, dtype=int)
+    centers = np.zeros(k)
+    for c in range(k):
+        a, b = bounds[c], bounds[c + 1]
+        labels_sorted[a:b] = c
+        centers[c] = xs[a:b].mean() if b > a else 0.0
+    labels = np.zeros(n, dtype=int)
+    labels[order] = labels_sorted
+    return labels, centers
+
+
 class KMeans:
     def __init__(self, n_clusters=2, random_state=None, n_init=10, **kw):
         self.k = n_clusters
@@ -52,6 +107,15 @@ class KMeans:
         self.n_init = n_init if isinstance(n_init, int) else 10
 
     def fit(self, X):
+        if KMEANS_MODE == "exact":
+            Xf = np.asarray(X, dtype=float).reshape(-1)
+            labels, centers = _exact_kmeans_1d(Xf, self.k)
+            self.cluster_centers_ = centers.reshape(-1, 1)
+            self.labels_ = labels
+            return self
+        return self._fit_lloyd(X)
+
+    def _fit_lloyd(self, X):
         X = np.asarray(X, dtype=float).reshape(-1)
         rs = np.random.RandomState(self.seed)
         best = None
