@@ -69,7 +69,7 @@ object ParityDump {
     val docsJson = for (doc0 <- allDocs) yield {
       val doc = doc0
       val pages = Parse.paginate(doc.spans)
-      // cap giant docs at 3 pages for the python side (slow interpreter)
+      // cap giant docs at 6 pages for the python side (slow interpreter)
       val capped = if (pages.length > 6) pages.take(6) else pages
       val cappedSpans = capped.flatMap(_._2)
       val pagesJson = capped.map { case (p, spans) =>

@@ -60,14 +60,24 @@ object AdaptivePlumber {
     Parse.extractTableTextStrategy(lines).exists(t => t.data.nonEmpty)
   }
 
-  /** reference: adaptive_pdfplumber.py:20-30 — probe all pages, extract page 0. */
+  /** reference: adaptive_pdfplumber.py:20-30 — probe over the PHYSICAL page
+    * list (len(pdf.pages)), then always extract physical page 0 (which may be
+    * span-less and extract to ""). Sparse pagination would mis-index both:
+    * the probe page is chosen by physical page number and page 0 is
+    * pdf.pages[0] even when empty. */
   def extractText(spans: Seq[Span]): String = {
-    val pages = Parse.paginate(spans)
-    if (pages.isEmpty) return ""
-    val byPage = pages.map(_._2).toIndexedSeq
-    val doubleColumn = isMultiColumnLayout(byPage)
+    if (spans.isEmpty) return ""
+    val numPages = spans.iterator.map(s => Parse.pageOf(s.offset)).max + 1
+    if (numPages <= 0) return ""
+    val byPage = Array.fill(numPages)(Vector.newBuilder[Span])
+    spans.foreach { s =>
+      val p = Parse.pageOf(s.offset)
+      if (p >= 0 && p < numPages) byPage(p) += s
+    }
+    val physical: IndexedSeq[Seq[Span]] = byPage.map(b => b.result().sortBy(_.offset): Seq[Span]).toIndexedSeq
+    val doubleColumn = isMultiColumnLayout(physical)
     val maxColumns = if (doubleColumn) 2 else 1
-    extractFromMultiColumnAuto(pages.head._2, maxColumns)
+    extractFromMultiColumnAuto(physical(0), maxColumns)
   }
 
   /** Default single-column extraction: words sorted by (top, x0), joined by

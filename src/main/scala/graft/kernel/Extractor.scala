@@ -122,44 +122,71 @@ object Extractor {
     catch { case scala.util.control.NonFatal(_) => PageResult(page_number = pageNumber0 + 1) }
   }
 
+  /** Result metadata (reference: pdf_processor.py:108-125 — doc-info map +
+    * num_pages + file_size). The span contract has no byte stream, so
+    * file_size is the merged-text char count: deterministic, path-invariant
+    * (identical from the narrow and page-split legs). */
+  private def docMetadata(numPages: Int, mergedTextLen: Int): Map[String, String] =
+    Map("num_pages" -> numPages.toString, "file_size" -> mergedTextLen.toString)
+
   /** Doc-level finalize over already-extracted pages (ascending page order):
-    * merge + post-process + span projection. */
+    * merge + post-process + span projection. Stamps metadata and
+    * extraction_date (models.py:159); processing_time covers this finalize
+    * only — extractDoc re-stamps it with the full per-doc duration. */
   def finalizeDoc(docId: String, pages: Seq[PageResult], cfg: ExtractConfig): DocResult = {
+    val t0 = System.nanoTime()
     var result = mergeResults(docId, pages)
+    val meta = docMetadata(pages.length, if (result.text == null) 0 else result.text.length)
     if (cfg.enableTextCleaning) result = TextClean.postProcess(result, cfg)
     // tables/images doc-level lists reflect final pages
     result = result.copy(
       tables = result.pages.flatMap(_.tables),
       images = result.pages.flatMap(_.images))
-    result.copy(spans = projectSpans(result))
+    result.copy(
+      spans = projectSpans(result),
+      metadata = meta,
+      processing_time = (System.nanoTime() - t0) / 1e9,
+      extraction_date = System.currentTimeMillis() * 1000L)
   }
 
   /** Full per-document pipeline with quarantine (the reference throws typed
-    * exceptions, core.py:111-116; on executors we quarantine instead —
-    * SURVEY.md §2.1 "File validation / pre-scan filter"). */
+    * exceptions, core.py:111-116; on executors we quarantine instead, with a
+    * stable error_code taxonomy — SURVEY.md §2.1 "File validation /
+    * pre-scan filter"; encryption sniff per pdf_processor.py:97-102). */
   def extractDoc(doc: RawDoc, cfg: ExtractConfig = ExtractConfig.default): DocResult = {
+    val t0 = System.nanoTime()
+    def stamped(r: DocResult): DocResult =
+      r.copy(processing_time = (System.nanoTime() - t0) / 1e9,
+        extraction_date = System.currentTimeMillis() * 1000L)
     try {
       if (doc.doc_id == null) {
-        return DocResult("", "", Nil, Nil, Nil, Nil, 0, quarantined = true, error = "null doc_id")
+        return stamped(DocResult("", "", Nil, Nil, Nil, Nil, 0,
+          quarantined = true, error = "null doc_id", error_code = ErrorCode.NullDocId))
       }
       val spans = if (doc.spans == null) Nil else doc.spans.filter(_ != null)
       cfg.engine match {
         case "fitz" =>
           val text = AdaptiveFitz.extractText(spans)
-          DocResult(doc.doc_id, text, Nil, Nil, Nil,
-            Seq(Span("text", text, "", 0)), if (spans.isEmpty) 0 else 1)
+          stamped(DocResult(doc.doc_id, text, Nil, Nil, Nil,
+            Seq(Span("text", text, "", 0)), if (spans.isEmpty) 0 else 1,
+            metadata = docMetadata(if (spans.isEmpty) 0 else 1, text.length)))
         case "plumber" =>
           val text = AdaptivePlumber.extractText(spans)
-          DocResult(doc.doc_id, text, Nil, Nil, Nil,
-            Seq(Span("text", text, "", 0)), if (spans.isEmpty) 0 else 1)
+          stamped(DocResult(doc.doc_id, text, Nil, Nil, Nil,
+            Seq(Span("text", text, "", 0)), if (spans.isEmpty) 0 else 1,
+            metadata = docMetadata(if (spans.isEmpty) 0 else 1, text.length)))
         case _ =>
           val pages = Parse.paginate(spans).map { case (p, ss) => extractPage(p, ss, cfg) }
-          finalizeDoc(doc.doc_id, pages, cfg)
+          stamped(finalizeDoc(doc.doc_id, pages, cfg))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
-        DocResult(Option(doc.doc_id).getOrElse(""), "", Nil, Nil, Nil, Nil, 0,
-          quarantined = true, error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+        val code = ErrorCode.ofThrowable(e)
+        stamped(DocResult(Option(doc.doc_id).getOrElse(""), "", Nil, Nil, Nil, Nil, 0,
+          quarantined = true,
+          error = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}",
+          error_code = code,
+          is_encrypted = code == ErrorCode.Encrypted))
     }
   }
 }

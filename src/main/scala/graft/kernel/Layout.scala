@@ -323,12 +323,20 @@ object Layout {
   /** Multi-column detect + reorder (reference: layout_processor.py:198-222). */
   def detectColumns(page: PageResult): PageResult = {
     if (page.text_blocks.isEmpty || page.width == 0) return page
-    val columnCount = improveColumnDetection(page)
-    if (columnCount <= 1) return page
-    val columns = assignBlocksToColumns(page, columnCount)
-    val sortedCols = sortBlocksInColumns(columns)
-    val reordered = mergeColumnsInReadingOrder(sortedCols)
-    page.copy(text_blocks = reordered, column_processed = true)
+    try {
+      val columnCount = improveColumnDetection(page)
+      if (columnCount <= 1) return page
+      val columns = assignBlocksToColumns(page, columnCount)
+      val sortedCols = sortBlocksInColumns(columns)
+      val reordered = mergeColumnsInReadingOrder(sortedCols)
+      page.copy(text_blocks = reordered, column_processed = true)
+    } catch {
+      // reference: layout_processor.py:220-222 — any detection failure keeps
+      // the original block order (e.g. IndexError on a 2-3 element bbox in
+      // the center-x read, layout_processor.py:313); without this a public-
+      // API caller with a short bbox would lose the whole page.
+      case scala.util.control.NonFatal(_) => page
+    }
   }
 
   /** Row grouping utility (reference: layout_processor.py:560-599): greedy

@@ -13,13 +13,29 @@ import graft.model._
   */
 object TextClean {
 
-  /** Python `' '.join(line.strip().split())` per line, newline-preserving.
-    * str.split() splits on any whitespace run and drops empties.
+  /** Python str.splitlines() boundary set (text_processor.py:60 iterates
+    * splitlines): \n, \r, \r\n, \v, \f, \x1c, \x1d, \x1e, \x85, U+2028,
+    * U+2029. Java's \s notion differs — match Python's exactly. */
+  private def isLineTerminator(c: scala.Char): Boolean = (c: @annotation.switch) match {
+    case '\n' | '\r' | '\u000B' | '\f' | '\u001C' | '\u001D' | '\u001E' | '\u0085' | '\u2028' | '\u2029' => true
+    case _ => false
+  }
+
+  /** Python str.split() whitespace = str.isspace(): Java isWhitespace plus
+    * the non-breaking spaces Java excludes (U+00A0, U+2007, U+202F). */
+  private def isPySpace(c: scala.Char): Boolean =
+    Character.isWhitespace(c) || c == '\u00A0' || c == '\u2007' || c == '\u202F'
+
+  /** Python `'\n'.join(' '.join(line.strip().split()) for line in
+    * text.splitlines())` — per line: trim + collapse whitespace runs;
+    * splitlines semantics preserved exactly: \v/\f/\x1c-\x1e/\x85/U+2028/
+    * U+2029 are line breaks too, and a terminator that ENDS the string
+    * closes the last line instead of opening an empty one
+    * ('abc\n' cleans to 'abc', 'abc\n\n' to 'abc\n').
     *
     * Hand-rolled single pass (no regex): String.split with a multi-char
     * pattern compiles a Pattern per call — measured as a top-3 hot frame on
-    * the giant-doc path. Whitespace = Java \s = [ \t\n\x0B\f\r], matching
-    * Python str.split() for ASCII inputs. \r\n, \n and \r all end lines. */
+    * the giant-doc path. */
   def cleanLinePreserving(text: String): String = {
     if (text == null) return null
     val n = text.length
@@ -27,15 +43,17 @@ object TextClean {
     var i = 0
     var lineHasContent = false // emitted a word on the current line
     var pendingSpace = false // whitespace seen since last word on this line
-    def endLine(): Unit = { sb.append('\n'); lineHasContent = false; pendingSpace = false }
+    var pendingNewlines = 0 // terminators seen; flushed lazily so a trailing run is trimmed
     while (i < n) {
       val c = text.charAt(i)
-      if (c == '\r') {
-        if (i + 1 < n && text.charAt(i + 1) == '\n') i += 1
-        endLine()
-      } else if (c == '\n') endLine()
-      else if (c == ' ' || c == '\t' || c == '\u000B' || c == '\f') pendingSpace = true
+      if (isLineTerminator(c)) {
+        if (c == '\r' && i + 1 < n && text.charAt(i + 1) == '\n') i += 1
+        pendingNewlines += 1
+        lineHasContent = false
+        pendingSpace = false
+      } else if (isPySpace(c)) pendingSpace = true
       else {
+        while (pendingNewlines > 0) { sb.append('\n'); pendingNewlines -= 1 }
         if (lineHasContent && pendingSpace) sb.append(' ')
         sb.append(c)
         lineHasContent = true
@@ -43,6 +61,9 @@ object TextClean {
       }
       i += 1
     }
+    // k trailing terminators produce k-1 newlines (the final one closes the
+    // last line instead of opening an empty one — Python splitlines)
+    while (pendingNewlines > 1) { sb.append('\n'); pendingNewlines -= 1 }
     sb.toString
   }
 
@@ -62,14 +83,24 @@ object TextClean {
       // re-scanning the (potentially multi-MB) merged string. Single-column
       // docs only — multi-column result.text is deliberately left raw above
       // (text_processor.py:49-60). Equivalence asserted in TextCleanSpec.
+      // The composition breaks when a block text itself contains a line
+      // terminator (splitlines trims a TRAILING terminator per string, so a
+      // block-final '\n' is dropped per-block but internal in the merged
+      // string) — kernel-derived blocks are single lines, but the public API
+      // admits embedded newlines, so that rare case falls back to cleaning
+      // the merged string directly, exactly like the reference.
       // inclusion is decided on the RAW text (the reference merged before
       // cleaning): a block that cleans to "" still contributes its element
-      val rebuilt = result.pages.zip(cleanedPages).flatMap { case (raw, cleaned) =>
-        raw.text_blocks.zip(cleaned.text_blocks).collect {
-          case (r, c) if r.text != null && r.text.nonEmpty => if (c.text == null) "" else c.text
-        }
-      }.mkString("\n\n")
-      result.copy(text = rebuilt, pages = cleanedPages)
+      val anyTerminator = result.pages.exists(_.text_blocks.exists(b =>
+        b.text != null && b.text.exists(isLineTerminator)))
+      val newText =
+        if (anyTerminator) cleanLinePreserving(result.text)
+        else result.pages.zip(cleanedPages).flatMap { case (raw, cleaned) =>
+          raw.text_blocks.zip(cleaned.text_blocks).collect {
+            case (r, c) if r.text != null && r.text.nonEmpty => if (c.text == null) "" else c.text
+          }
+        }.mkString("\n\n")
+      result.copy(text = newText, pages = cleanedPages)
     }
   }
 

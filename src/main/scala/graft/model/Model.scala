@@ -92,8 +92,34 @@ object PageResult {
     page.text_blocks.filter(_.block_type == blockType).map(_.text)
 }
 
+/** Stable quarantine/error taxonomy for the contract's error_code column
+  * (the reference throws typed exceptions instead — exceptions.py via
+  * core.py:111-116; on executors we encode them). */
+object ErrorCode {
+  val Ok = "" // not quarantined
+  val NullDocId = "null_doc_id" // no primary key — row unusable
+  val Encrypted = "encrypted" // reference: pdf_processor.py:97-102 sniffs
+  // "password"/"encrypted" in the parse error and raises
+  // PDFPasswordProtectedError; we sniff the same markers
+  val ParseError = "parse_error" // any other kernel failure
+
+  /** The reference's encryption sniff (pdf_processor.py:99): "password" or
+    * "encrypted" in the lowered error string. */
+  def ofThrowable(e: Throwable): String = {
+    val msg = String.valueOf(e.getMessage).toLowerCase
+    if (msg.contains("password") || msg.contains("encrypted")) Encrypted else ParseError
+  }
+}
+
 /** Document-level extraction result (reference: models.py:149-229) plus the
-  * driver-facing output span projection and quarantine fields. */
+  * driver-facing output span projection and quarantine fields.
+  *
+  * `metadata` mirrors the reference's doc-info map + num_pages + file_size
+  * (pdf_processor.py:108-125; file_size here = total input span text chars,
+  * the byte-stream analog). `processing_time` (models.py:158) and
+  * `extraction_date` (models.py:159, epoch micros) are measurement fields —
+  * excluded from span-equality and checksum comparisons exactly as the
+  * reference excludes them from to_dict fixture comparisons. */
 final case class DocResult(
     doc_id: String,
     text: String,
@@ -103,7 +129,12 @@ final case class DocResult(
     spans: Seq[Span],
     num_pages: Int,
     quarantined: Boolean = false,
-    error: String = ""
+    error: String = "",
+    error_code: String = ErrorCode.Ok,
+    is_encrypted: Boolean = false,
+    metadata: Map[String, String] = Map.empty,
+    processing_time: Double = 0.0,
+    extraction_date: Long = 0L
 ) {
   /** Page-keyed lookups (reference: models.py:218-229). */
   def tablesByPage(n: Int): Seq[TableResult] = tables.filter(_.page_number == n)
@@ -120,7 +151,8 @@ final case class SpanDoc(
     spans: Seq[Span],
     num_pages: Int,
     quarantined: Boolean,
-    error: String)
+    error: String,
+    error_code: String = ErrorCode.Ok)
 
 /** Extraction configuration (reference: config.py:9-76). Dead knobs of the
   * reference (chunk_size, timeout, detect_footers, image_quality, ...) are
@@ -172,3 +204,46 @@ final case class ExtractConfig(
 object ExtractConfig {
   val default: ExtractConfig = { val c = ExtractConfig(); c.validate(); c }
 }
+
+// ---------------------------------------------------------------------------
+// Public-API-parity sub-configs. The reference declares these but no
+// processor consumes them (config.py:79-135 — OCRConfig/LayoutConfig/
+// TableConfig are never referenced outside config.py); modeled for users
+// porting reference-consuming code, documented inert like the dead knobs.
+// ---------------------------------------------------------------------------
+
+/** reference: config.py:79-95 (unused by any processor). */
+final case class OcrConfig(
+    engine: String = "tesseract",
+    language: String = "chi_sim+eng",
+    config: String = "--psm 6",
+    timeoutSec: Int = 30,
+    dpi: Int = 300,
+    easyocrGpu: Boolean = false,
+    easyocrModelPath: Option[String] = None,
+    tesseractPath: Option[String] = None,
+    tesseractConfig: Map[String, String] = Map.empty)
+
+/** reference: config.py:98-115 (unused by any processor). */
+final case class LayoutConfig(
+    detectHeaders: Boolean = true,
+    detectFooters: Boolean = true,
+    detectColumns: Boolean = true,
+    detectLists: Boolean = true,
+    detectTables: Boolean = true,
+    headerThreshold: Double = 0.1,
+    footerThreshold: Double = 0.1,
+    columnGapThreshold: Double = 50,
+    modelPath: Option[String] = None,
+    confidenceThreshold: Double = 0.7)
+
+/** reference: config.py:118-135 (unused by any processor). */
+final case class TableConfig(
+    detectionMethod: String = "auto",
+    minCells: Int = 4,
+    minRows: Int = 2,
+    minCols: Int = 2,
+    lineThreshold: Double = 0.8,
+    cellPadding: Int = 5,
+    tableConfidenceThreshold: Double = 0.7,
+    tableModelPath: Option[String] = None)

@@ -427,7 +427,11 @@ object Queries {
       .mapPartitions(_.map { case (id, t) => (id, TextOps.wordShinglesKernel(t, 3)) })
       .toDF("doc_id", "sh")
     val a = d.as("a"); val b = d.as("b")
-    a.join(broadcast(b), col("a.doc_id") + 1 === col("b.doc_id"))
+    // equi-join on the shifted key, NO broadcast hint: both sides are
+    // corpus-sized (a broadcast of every document's shingle array is a
+    // driver/executor OOM at 100 TB — VERDICT r01); shuffle hash/sort-merge
+    // on doc_id scales, and AQE may still broadcast at tiny SFs.
+    a.join(b, col("a.doc_id") + 1 === col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
@@ -544,22 +548,37 @@ object Queries {
       |FROM scored QUALIFY rank <= 5""".stripMargin
 
   /** LSH-bucketed ANN: random-hyperplane signs from the deterministic hash32
-    * stream bucket vectors; per-bucket sizes as the scale-path diagnostic. */
+    * stream bucket vectors; per-bucket sizes as the scale-path diagnostic.
+    * The sign weights are data-independent, so they are precomputed ONCE as
+    * array literals (plane p, dim i weight = +1/-1 by bit 0 of
+    * hash32("p#i")) — the previous form re-derived the md5 stream per ROW:
+    * planes x dims x rows md5 calls for constants (VERDICT r01). */
   private val qAnnLshBuckets: Q = (spark, sfDir) => {
     val emb = tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    // 8 hyperplanes: plane p dim i weight = +1/-1 by bit of hash32("p#i")
+    val dim = emb.select(size(col("v")).as("d")).head(1).headOption.map(_.getInt(0)).getOrElse(64)
     val bucket = (0 until 8).map { p =>
-      val signed = aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-          (x, i) => when(TextOps.hash32(concat(lit(p + "#"), i.cast("string"))).bitwiseAND(1) === 1, x).otherwise(-x)),
+      val signs = (0 until dim).map(i =>
+        if ((TextOps.hash32Kernel(s"$p#$i") & 1L) == 1L) 1.0 else -1.0)
+      val dot = aggregate(zip_with(col("v"), typedLit(signs), (x, s) => x * s),
         lit(0.0), (a, x) => a + x)
-      when(signed > 0, shiftleft(lit(1), p)).otherwise(0)
+      when(dot > 0, shiftleft(lit(1), p)).otherwise(0)
     }.reduce(_ + _)
     emb.select(col("vec_id"), col("label"), bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
   }
+  private val oAnnLshBuckets =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |b AS (SELECT vec_id,
+      |  CAST(list_sum(list_transform(range(0, 8), p ->
+      |    CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+      |      CASE WHEN ('0x' || substr(md5(CAST(p AS VARCHAR) || '#' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT & 1 = 1
+      |           THEN v[i] ELSE -v[i] END)) > 0
+      |    THEN (1 << p) ELSE 0 END)) AS INTEGER) AS bucket
+      |  FROM e)
+      |SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+      |FROM b GROUP BY bucket""".stripMargin
 
   /** Font-style predicates (pdf_processor.py:271-287): 'bold'/'italic'/
     * 'oblique' containment over a derived font name. */
@@ -585,9 +604,11 @@ object Queries {
       |  (contains(lower(fontname), 'italic') OR contains(lower(fontname), 'oblique')) AS is_italic
       |FROM f""".stripMargin
 
-  /** Embedding-cosine near-duplicate detection: pairs above 0.99 among the
+  /** Embedding-cosine near-duplicate detection: pairs above 0.35 among the
     * first 200 vectors (bounded candidate set; the scale path is
-    * q31's LSH bucketing). */
+    * q31's LSH bucketing). The BOUNDED side is the broadcast side — the
+    * inequality condition forces a nested-loop join, so ship the 200-vector
+    * probe set, never the corpus. */
   private val qEmbeddingNearDup: Q = (spark, sfDir) => {
     val emb = tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -596,7 +617,7 @@ object Queries {
     val dot = aggregate(zip_with(col("va"), col("v"), (x, y) => x * y), lit(0.0), (s, x) => s + x)
     val na = sqrt(aggregate(col("va"), lit(0.0), (s, x) => s + x * x))
     val nv = sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x))
-    a.join(broadcast(emb), col("id_a") < col("vec_id"))
+    broadcast(a).join(emb, col("id_a") < col("vec_id"))
       .select(col("id_a"), col("vec_id").as("id_b"), round(dot / (na * nv), 6).as("cosine"))
       .filter(col("cosine") > 0.35)
   }
@@ -789,6 +810,7 @@ object Queries {
     "q35_token_count_native" -> oTokenCountNative,
     "q36_bbox_union_typed" -> oBBoxUnionTyped,
     "q37_salted_agg" -> oSaltedAgg,
+    "q31_ann_lsh_buckets" -> oAnnLshBuckets,
     "q38_sessionize" -> oSessionize,
     "q39_repetition_filter" -> oRepetitionFilter
   )

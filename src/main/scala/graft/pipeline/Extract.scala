@@ -19,6 +19,12 @@ import graft.kernel.{Extractor, Parse}
   * ordering for the cheap doc-level finalize. At 100 TB this bounds executor
   * memory by the largest PAGE, not the largest DOC, and spreads a
   * thousand-page document over the cluster instead of pinning one task.
+  *
+  * The page-split plan only exists for the core engine: the adaptive
+  * fitz/plumber engines read page 0 only (loops commented out in the
+  * reference), so every skew-aware entry point routes non-core configs down
+  * the narrow path — splitting them would both change semantics and waste a
+  * shuffle.
   */
 object Extract {
 
@@ -29,13 +35,68 @@ object Extract {
   }
 
   private def toSpanDoc(r: DocResult): SpanDoc =
-    SpanDoc(r.doc_id, r.spans, r.num_pages, r.quarantined, r.error)
+    SpanDoc(r.doc_id, r.spans, r.num_pages, r.quarantined, r.error, r.error_code)
 
   /** Narrow path, slim output: the driver-contract span table. Use this for
     * throughput paths — the fat DocResult encoder is the measured bottleneck. */
   def extractSpans(ds: Dataset[RawDoc], cfg: ExtractConfig = ExtractConfig.default): Dataset[SpanDoc] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[SpanDoc]
     ds.mapPartitions(_.map(doc => toSpanDoc(Extractor.extractDoc(doc, cfg))))
+  }
+
+  /** Shared page-split leg: giant docs -> per-page work units, spread wide by
+    * (doc_id, page_no), page kernels in parallel, regather per doc with
+    * explicit page ordering. Callers pre-filter to docs above the skew
+    * threshold; page-split assumes non-null doc_id (the table's primary key —
+    * the narrow path quarantines null ids).
+    * Core engine only (see object scaladoc). */
+  private def pageSplitUnits(big: Dataset[RawDoc], pageParallelism: Int)
+      : Dataset[(String, Int, Seq[Span])] = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    val units = big.flatMap { d =>
+      val spans = if (d.spans == null) Seq.empty[Span] else d.spans.filter(_ != null)
+      Parse.paginate(spans).map { case (p, ss) => (d.doc_id, p, ss) }
+    }.toDF("doc_id", "page_no", "page_spans")
+    val parallelism = if (pageParallelism > 0) pageParallelism
+      else spark.sparkContext.defaultParallelism
+    units.repartition(parallelism, col("doc_id"), col("page_no"))
+      .as[(String, Int, Seq[Span])]
+  }
+
+  /** Page-split leg emitting the slim contract rows. */
+  private def pageSplitSpanDocs(big: Dataset[RawDoc], cfg: ExtractConfig,
+      pageParallelism: Int): Dataset[SpanDoc] = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    implicit val enc = org.apache.spark.sql.Encoders.product[SpanDoc]
+    pageSplitUnits(big, pageParallelism)
+      .map { case (docId, pageNo, pageSpans) =>
+        (docId, pageNo, Extractor.extractPage(pageNo, pageSpans, cfg))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val pages = it.toVector.sortBy(_._2).map(_._3)
+        toSpanDoc(Extractor.finalizeDoc(docId, pages, cfg))
+      }
+  }
+
+  /** Page-split leg emitting full results. */
+  private def pageSplitDocResults(big: Dataset[RawDoc], cfg: ExtractConfig,
+      pageParallelism: Int): Dataset[DocResult] = {
+    val spark = big.sparkSession
+    import spark.implicits._
+    implicit val docEnc = org.apache.spark.sql.Encoders.product[DocResult]
+    implicit val prEnc = org.apache.spark.sql.Encoders.product[(String, Int, PageResult)]
+    pageSplitUnits(big, pageParallelism)
+      .map { case (docId, pageNo, pageSpans) =>
+        (docId, pageNo, Extractor.extractPage(pageNo, pageSpans, cfg))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (docId, it) =>
+        val pages = it.toVector.sortBy(_._2).map(_._3)
+        Extractor.finalizeDoc(docId, pages, cfg)
+      }
   }
 
   /** Skew-aware slim-output variant (same split/page-scatter plan as
@@ -45,30 +106,10 @@ object Extract {
       cfg: ExtractConfig = ExtractConfig.default,
       skewSpanThreshold: Int = 512 * Parse.SpansPerPage,
       pageParallelism: Int = 0): Dataset[SpanDoc] = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    implicit val enc = org.apache.spark.sql.Encoders.product[SpanDoc]
+    if (cfg.engine != "core") return extractSpans(ds, cfg) // page-0 engines: narrow only
     val small = ds.filter(coalesce(size(col("spans")), lit(0)) <= skewSpanThreshold)
     val big = ds.filter(coalesce(size(col("spans")), lit(0)) > skewSpanThreshold)
-    val smallOut = extractSpans(small, cfg)
-    val units = big.flatMap { d =>
-      val spans = if (d.spans == null) Seq.empty[Span] else d.spans.filter(_ != null)
-      Parse.paginate(spans).map { case (p, ss) => (d.doc_id, p, ss) }
-    }.toDF("doc_id", "page_no", "page_spans")
-    val parallelism = if (pageParallelism > 0) pageParallelism
-      else spark.sparkContext.defaultParallelism
-    val pageResults = units.repartition(parallelism, col("doc_id"), col("page_no"))
-      .as[(String, Int, Seq[Span])]
-      .map { case (docId, pageNo, pageSpans) =>
-        (docId, pageNo, Extractor.extractPage(pageNo, pageSpans, cfg))
-      }
-    val bigOut = pageResults
-      .groupByKey(_._1)
-      .mapGroups { (docId, it) =>
-        val pages = it.toVector.sortBy(_._2).map(_._3)
-        toSpanDoc(Extractor.finalizeDoc(docId, pages, cfg))
-      }
-    smallOut.unionByName(bigOut)
+    extractSpans(small, cfg).unionByName(pageSplitSpanDocs(big, cfg, pageParallelism))
   }
 
   /** Skew-aware path. `skewSpanThreshold` in raw spans (default 512 pages'
@@ -84,41 +125,12 @@ object Extract {
       cfg: ExtractConfig = ExtractConfig.default,
       skewSpanThreshold: Int = 512 * Parse.SpansPerPage,
       pageParallelism: Int = 0): Dataset[DocResult] = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    implicit val docEnc = org.apache.spark.sql.Encoders.product[DocResult]
-
+    if (cfg.engine != "core") return extract(ds, cfg) // page-0 engines: narrow only
     // size split as a column predicate — no encoder roundtrip, and the
     // size(spans) filter evaluates on the columnar batch before any kernel
     val small = ds.filter(coalesce(size(col("spans")), lit(0)) <= skewSpanThreshold)
     val big = ds.filter(coalesce(size(col("spans")), lit(0)) > skewSpanThreshold)
-
-    val smallOut = extract(small, cfg)
-
-    // page-split: (doc_id, page_no, page_spans) work units, spread wide
-    val units = big.flatMap { d =>
-      val spans = if (d.spans == null) Seq.empty[Span] else d.spans.filter(_ != null)
-      Parse.paginate(spans).map { case (p, ss) => (d.doc_id, p, ss) }
-    }.toDF("doc_id", "page_no", "page_spans")
-    val parallelism = if (pageParallelism > 0) pageParallelism
-      else spark.sparkContext.defaultParallelism
-    val spread = units.repartition(parallelism, col("doc_id"), col("page_no"))
-
-    val pageResults = spread.as[(String, Int, Seq[Span])]
-      .map { case (docId, pageNo, pageSpans) =>
-        (docId, pageNo, Extractor.extractPage(pageNo, pageSpans, cfg))
-      }
-      .toDF("doc_id", "page_no", "page")
-
-    implicit val prEnc = org.apache.spark.sql.Encoders.product[(String, Int, PageResult)]
-    val bigOut = pageResults.as[(String, Int, PageResult)]
-      .groupByKey(_._1)
-      .mapGroups { (docId, it) =>
-        val pages = it.toVector.sortBy(_._2).map(_._3)
-        Extractor.finalizeDoc(docId, pages, cfg)
-      }
-
-    smallOut.unionByName(bigOut)
+    extract(small, cfg).unionByName(pageSplitDocResults(big, cfg, pageParallelism))
   }
 
   /** Driver-facing output: the span projection table
@@ -144,7 +156,8 @@ object Extract {
   final case class RawDocArr(doc_id: String, kinds: Array[String], texts: Array[String],
       refs: Array[String], offsets: Array[Int])
   final case class SpanDocArr(doc_id: String, kinds: Array[String], texts: Array[String],
-      refs: Array[String], offsets: Array[Int], num_pages: Int, quarantined: Boolean, error: String)
+      refs: Array[String], offsets: Array[Int], num_pages: Int, quarantined: Boolean,
+      error: String, error_code: String)
 
   private def runKernelArr(d: RawDocArr, cfg: ExtractConfig): SpanDocArr = {
     val n = if (d.kinds == null) 0 else d.kinds.length
@@ -156,7 +169,7 @@ object Extract {
     val ok = new Array[String](m); val ot = new Array[String](m); val or = new Array[String](m); val oo = new Array[Int](m)
     var j = 0
     r.spans.foreach { s => ok(j) = s.kind; ot(j) = s.text; or(j) = s.media_ref; oo(j) = s.offset; j += 1 }
-    SpanDocArr(r.doc_id, ok, ot, or, oo, r.num_pages, r.quarantined, r.error)
+    SpanDocArr(r.doc_id, ok, ot, or, oo, r.num_pages, r.quarantined, r.error, r.error_code)
   }
 
   /** Fast-path extraction over the contract input table
@@ -193,25 +206,28 @@ object Extract {
             element_at(col("refs"), i + 1).as("media_ref"),
             element_at(col("offsets"), i + 1).as("offset"))))
         .as("spans"),
-      col("num_pages"), col("quarantined"), col("error"))
+      col("num_pages"), col("quarantined"), col("error"), col("error_code"))
 
   /** Production contract entry: input table -> output table, fast columnar
     * path for typical docs + page-split path for giants beyond
-    * `skewSpanThreshold`. Both legs emit the contract schema. */
+    * `skewSpanThreshold`. Both legs emit the contract schema; the plan has
+    * exactly two scans of the input (small leg + giant leg — the giant leg
+    * feeds [[pageSplitSpanDocs]] directly, no third scan). */
   def extractContract(
       input: org.apache.spark.sql.DataFrame,
       cfg: ExtractConfig = ExtractConfig.default,
       skewSpanThreshold: Int = 512 * Parse.SpansPerPage,
       pageParallelism: Int = 0): org.apache.spark.sql.DataFrame = {
+    if (cfg.engine != "core") return extractSpansDF(input, cfg) // page-0 engines: narrow only
     val spark = input.sparkSession
     import spark.implicits._
     val nSpans = coalesce(size(col("spans")), lit(0))
     val small = extractSpansDF(input.filter(nSpans <= skewSpanThreshold), cfg)
     val bigIn = input.filter(nSpans > skewSpanThreshold)
       .select(col("doc_id").cast("string").as("doc_id"), col("spans")).as[RawDoc]
-    val big = extractSpansSkewAware(bigIn, cfg, skewSpanThreshold = 0, pageParallelism = pageParallelism)
+    val big = pageSplitSpanDocs(bigIn, cfg, pageParallelism)
       .toDF().select(col("doc_id"), col("spans").cast(SpanArraySchema).as("spans"),
-        col("num_pages"), col("quarantined"), col("error"))
+        col("num_pages"), col("quarantined"), col("error"), col("error_code"))
     small.unionByName(big)
   }
 }

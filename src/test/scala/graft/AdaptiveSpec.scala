@@ -91,4 +91,18 @@ class AdaptiveSpec extends AnyFunSuite {
     val page = r.pages.head
     assert(graft.model.PageResult.textByType(page, "header").isEmpty) // removed in post-process
   }
+
+  test("physical-page semantics: spans starting past page 0 extract physical page 0 as empty (ADVICE r01)") {
+    import graft.model.Span
+    // all spans on physical page 1+ — the reference always extracts
+    // pdf.pages[0], which is empty here, and counts PHYSICAL pages for the
+    // probe-page selection (adaptive_pdfplumber.py:26-29,33-46)
+    val spans = (24 until 40).map(o => Span("text", "alpha beta gamma", "", o))
+    assert(AdaptivePlumber.extractText(spans) == "")
+    assert(AdaptiveFitz.extractText(spans) == "")
+    // and via the engine dispatch
+    val r = Extractor.extractDoc(graft.model.RawDoc("late-doc",
+      spans), ExtractConfig.default.copy(engine = "plumber"))
+    assert(r.text == "" && !r.quarantined)
+  }
 }

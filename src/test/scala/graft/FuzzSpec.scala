@@ -39,7 +39,7 @@ class FuzzSpec extends AnyFunSuite {
       val doc = graft.model.RawDoc(s"fuzz-$i", spans)
       val r1 = graft.kernel.Extractor.extractDoc(doc)
       val r2 = graft.kernel.Extractor.extractDoc(doc)
-      assert(r1 == r2, s"nondeterministic on fuzz-$i")
+      assert(TestTiming.strip(r1) == TestTiming.strip(r2), s"nondeterministic on fuzz-$i")
       assert(r1.spans.map(_.offset) == r1.spans.indices, s"offset gap on fuzz-$i")
     }
   }

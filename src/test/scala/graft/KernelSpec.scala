@@ -244,10 +244,34 @@ class ExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("quarantine taxonomy: stable error codes + encrypted sniff (pdf_processor.py:97-102)") {
+    import graft.model.{ErrorCode, RawDoc, Span}
+    val r = Extractor.extractDoc(RawDoc(null, Vector(Span("text", "x", "", 0))))
+    assert(r.quarantined && r.error_code == ErrorCode.NullDocId)
+    assert(ErrorCode.ofThrowable(new RuntimeException("PDF file is ENCRYPTED")) == ErrorCode.Encrypted)
+    assert(ErrorCode.ofThrowable(new RuntimeException("needs a Password to open")) == ErrorCode.Encrypted)
+    assert(ErrorCode.ofThrowable(new RuntimeException("boom")) == ErrorCode.ParseError)
+    val ok = Extractor.extractDoc(Fixtures.gen(Fixtures.docId("two_column_text", 1)))
+    assert(!ok.quarantined && ok.error_code == ErrorCode.Ok && !ok.is_encrypted)
+  }
+
+  test("result metadata + timing fields (models.py:149-229, pdf_processor.py:108-125)") {
+    val r = Extractor.extractDoc(Fixtures.gen(Fixtures.docId("tabular_report", 2)))
+    assert(r.metadata("num_pages").toInt == r.num_pages)
+    assert(r.metadata("file_size").toInt > 0)
+    assert(r.processing_time > 0.0)
+    assert(r.extraction_date > 0L)
+    // metadata is path-invariant: page-split finalize produces the same map
+    val pages = graft.kernel.Parse.paginate(Fixtures.gen(Fixtures.docId("tabular_report", 2)).spans)
+      .map { case (p, ss) => Extractor.extractPage(p, ss, graft.model.ExtractConfig.default) }
+    val viaFinalize = Extractor.finalizeDoc(r.doc_id, pages, graft.model.ExtractConfig.default)
+    assert(viaFinalize.metadata == r.metadata)
+  }
+
   test("determinism: same doc_id -> identical result") {
     val a = Extractor.extractDoc(Fixtures.gen(Fixtures.docId("two_column_text", 9)))
     val b = Extractor.extractDoc(Fixtures.gen(Fixtures.docId("two_column_text", 9)))
-    assert(a == b)
+    assert(TestTiming.strip(a) == TestTiming.strip(b))
   }
 
   test("merge semantics: multi-column page contributes one \\n-joined element") {

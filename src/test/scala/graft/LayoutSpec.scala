@@ -165,4 +165,20 @@ class LayoutSpec extends AnyFunSuite {
     val cols = Layout.assignBlocksToColumns(page, 2)
     assert(cols(0).length == 1 && cols(1).isEmpty)
   }
+
+  test("detectColumns swallows malformed-bbox failures, keeping original order (layout_processor.py:220-222)") {
+    import graft.model.{PageResult, TextBlock}
+    // two clear columns so the vote picks k=2, plus one malformed 2-element
+    // bbox block: the center-x read (bbox(2)) throws, and the whole detection
+    // must fall back to the original page like the reference's except block
+    val blocks = (0 until 6).flatMap { i =>
+      Seq(
+        TextBlock(text = s"left $i", bbox = Seq(60.0, 50.0 + 40 * i, 180.0, 68.0 + 40 * i)),
+        TextBlock(text = s"right $i", bbox = Seq(460.0, 50.0 + 40 * i, 580.0, 68.0 + 40 * i)))
+    } :+ TextBlock(text = "malformed", bbox = Seq(300.0, 100.0))
+    val page = PageResult(1, blocks, width = 800.0, height = 600.0)
+    val out = Layout.detectColumns(page)
+    assert(out == page, "malformed bbox must not reorder or drop the page")
+    assert(!out.column_processed)
+  }
 }

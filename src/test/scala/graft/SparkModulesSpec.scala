@@ -64,6 +64,30 @@ class PipelineSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("skew-aware entry points honor cfg.engine (ADVICE r01: big docs must not silently run core)") {
+    import spark.implicits._
+    val docs = Seq("two_column_text", "single_column_contract", "tabular_report")
+      .flatMap(a => (0 until 3).map(i => graft.fixtures.Fixtures.gen(graft.fixtures.Fixtures.docId(a, i))))
+    val ds = spark.createDataset(docs)
+    for (engine <- Seq("fitz", "plumber")) {
+      val cfg = graft.model.ExtractConfig.default.copy(engine = engine)
+      val narrow = graft.pipeline.Extract.extractSpans(ds, cfg).collect()
+        .sortBy(_.doc_id).map(s => (s.doc_id, s.spans, s.num_pages))
+      // threshold 0 used to page-split everything into the CORE pipeline;
+      // now non-core engines take the narrow path unconditionally
+      val skew = graft.pipeline.Extract.extractSpansSkewAware(ds, cfg, skewSpanThreshold = 0)
+        .collect().sortBy(_.doc_id).map(s => (s.doc_id, s.spans, s.num_pages))
+      assert(narrow.toSeq == skew.toSeq, s"engine=$engine diverged through the skew path")
+      val contract = graft.pipeline.Extract.extractContract(ds.toDF(), cfg, skewSpanThreshold = 0)
+        .selectExpr("doc_id", "coalesce(to_json(spans), '') AS j").as[(String, String)]
+        .collect().sortBy(_._1)
+      val narrowJ = graft.pipeline.Extract.extractSpansDF(ds.toDF(), cfg)
+        .selectExpr("doc_id", "coalesce(to_json(spans), '') AS j").as[(String, String)]
+        .collect().sortBy(_._1)
+      assert(contract.toSeq == narrowJ.toSeq, s"engine=$engine contract diverged")
+    }
+  }
+
   test("metrics accumulators count docs/pages/spans/quarantine") {
     import spark.implicits._
     val m = new graft.metrics.ExtractMetrics(spark)
@@ -156,7 +180,7 @@ class StreamingSpec extends AnyFunSuite {
     stream.awaitTermination(120000)
     val result = spark.read.parquet(out)
     assert(result.count() == 20)
-    assert(result.columns.toSet == Set("doc_id", "spans", "num_pages", "quarantined", "error"))
+    assert(result.columns.toSet == Set("doc_id", "spans", "num_pages", "quarantined", "error", "error_code"))
   }
 
   test("windowed throughput aggregation shape") {

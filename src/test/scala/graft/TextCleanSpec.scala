@@ -22,6 +22,39 @@ class TextCleanSpec extends AnyFunSuite {
     }
   }
 
+  test("Python splitlines semantics: trailing terminator trimmed; \\v/\\f/\\x1c-\\x1e/\\x85/U+2028/U+2029 break lines") {
+    import TextClean.cleanLinePreserving
+    assert(cleanLinePreserving("abc\n") == "abc")
+    assert(cleanLinePreserving("abc\n\n") == "abc\n")
+    assert(cleanLinePreserving("abc\r\n") == "abc")
+    assert(cleanLinePreserving("a\u000Bb") == "a\nb")
+    assert(cleanLinePreserving("a\fb") == "a\nb")
+    assert(cleanLinePreserving("a\u001Cb\u001Dc\u001Ed") == "a\nb\nc\nd")
+    assert(cleanLinePreserving("a\u0085b") == "a\nb")
+    assert(cleanLinePreserving("a\u2028b\u2029c") == "a\nb\nc")
+    assert(cleanLinePreserving("a\n\rb") == "a\n\nb") // \n then \r = two breaks
+    assert(cleanLinePreserving("a\r\nb") == "a\nb") // \r\n = one break
+    assert(cleanLinePreserving("\nabc") == "\nabc")
+    assert(cleanLinePreserving("\n") == "")
+    assert(cleanLinePreserving("\n\n") == "\n")
+    assert(cleanLinePreserving("  ") == "")
+    assert(cleanLinePreserving("a\u00A0b") == "a b") // NBSP is Python str.split whitespace
+  }
+
+  test("blocks with embedded/trailing terminators: cleanText falls back to merged-string cleaning") {
+    import graft.model._
+    val page = PageResult(1, Seq(
+      TextBlock(text = "line1\n", bbox = Nil), // trailing terminator: per-block clean drops it
+      TextBlock(text = "x  y", bbox = Nil)))
+    val merged = graft.kernel.Extractor.mergeResults("d", Seq(page))
+    val out = TextClean.cleanText(merged)
+    // reference single-column path: result.text cleaned from the MERGED
+    // string; blocks cleaned independently (text_processor.py:62-68)
+    assert(out.text == TextClean.cleanLinePreserving(merged.text))
+    assert(out.text == "line1\n\n\nx y")
+    assert(out.pages.head.text_blocks.head.text == "line1")
+  }
+
   test("whitespace-only and cleaned-to-empty blocks keep their separators") {
     import graft.model._
     val page = PageResult(1, Seq(
