@@ -8,6 +8,12 @@ import graft.pipeline.Extract
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
+  /** Deterministic RawDoc for one source doc_id — the single mapping shared
+    * by [[rawDocs]] and the expected-oracle generator ([[ExpectedDump]]), so
+    * the two can never drift. */
+  def rawDocFor(id: String): RawDoc =
+    Fixtures.gen(Fixtures.docId(Fixtures.Archetypes(((id.hashCode % 5) + 5) % 5), id.toInt))
+
   /** Deterministic interleaved-span documents derived from the driver's
     * `documents` parquet: doc_id seeds the archetype fixture generator, so
     * the same corpus regenerates identically at any scale (FIXTURES.md §5). */
@@ -16,7 +22,7 @@ object SparkEntry {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("string"))
       .as[String]
-      .map(id => Fixtures.gen(Fixtures.docId(Fixtures.Archetypes(((id.hashCode % 5) + 5) % 5), id.toInt)))
+      .map(id => rawDocFor(id))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -23,8 +23,21 @@ object Queries {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   // -------------------------------------------------------------------
-  // Extraction engine queries (kernel; non-SQL-expressible -> no oracle)
+  // Extraction engine queries. The kernel itself is not SQL-expressible,
+  // so their oracles SELECT from a MATERIALIZED expected table computed by
+  // replaying the ACTUAL reference Python over the identical derived
+  // inputs (graft.ExpectedDump -> tools/gen_expected.py -> the committed
+  // resource graft/expected_docs.csv). graft.Verify copies the resource
+  // next to its output and substitutes the __GRAFT_EXPECTED__ token with
+  // the absolute CSV path before writing oracle_sql.json.
   // -------------------------------------------------------------------
+
+  /** DuckDB relation over the reference-replay expected table, joined to the
+    * sf's documents so only the corpus at hand is selected. */
+  private val ExpectedCsv =
+    """read_csv('__GRAFT_EXPECTED__', header=true,
+      |  columns={'src_id':'BIGINT','doc_id':'VARCHAR','n_spans':'INTEGER','n_pages':'INTEGER',
+      |           'text_len':'INTEGER','fitz_len':'INTEGER','plumber_len':'INTEGER'})""".stripMargin
 
   private val qExtractSpans: Q = (spark, sfDir) => {
     import spark.implicits._
@@ -34,6 +47,9 @@ object Queries {
       .map(r => (r.doc_id, r.spans.length, r.num_pages, r.text.length))
       .toDF("doc_id", "n_spans", "n_pages", "text_len")
   }
+  private val oExtractSpans =
+    s"""SELECT e.doc_id, e.n_spans, e.n_pages, e.text_len
+       |FROM documents d JOIN $ExpectedCsv e ON d.doc_id = e.src_id""".stripMargin
 
   private val qExtractSkewAware: Q = (spark, sfDir) => {
     import spark.implicits._
@@ -53,6 +69,12 @@ object Queries {
       .map(r => (r.doc_id, "plumber", r.text.length)).toDF("doc_id", "engine", "text_len")
     fitz.unionByName(plumber)
   }
+  private val oAdaptiveEngines =
+    s"""WITH j AS (SELECT e.doc_id, e.fitz_len, e.plumber_len
+       |  FROM documents d JOIN $ExpectedCsv e ON d.doc_id = e.src_id)
+       |SELECT doc_id, 'fitz' AS engine, fitz_len AS text_len FROM j
+       |UNION ALL
+       |SELECT doc_id, 'plumber' AS engine, plumber_len AS text_len FROM j""".stripMargin
 
   /** The production contract pipeline (array-columnar fast path +
     * page-split leg): input table -> output span table. */
@@ -61,6 +83,9 @@ object Queries {
     graft.pipeline.Extract.extractContract(input)
       .selectExpr("doc_id", "coalesce(size(spans), 0) AS n_spans", "num_pages", "quarantined")
   }
+  private val oExtractContract =
+    s"""SELECT e.doc_id, e.n_spans, e.n_pages AS num_pages, false AS quarantined
+       |FROM documents d JOIN $ExpectedCsv e ON d.doc_id = e.src_id""".stripMargin
 
   // -------------------------------------------------------------------
   // SQL-expressible extraction operators (Catalyst; DuckDB oracle)
@@ -778,6 +803,10 @@ object Queries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q01_extract_spans" -> oExtractSpans,
+    "q02_extract_skew_aware" -> oExtractSpans, // page-split path must equal the narrow path
+    "q03_adaptive_engines" -> oAdaptiveEngines,
+    "q32_extract_contract" -> oExtractContract,
     "q04_title_classify" -> oTitleClassify,
     "q05_band_classify" -> oBandClassify,
     "q06_footer_regex" -> oFooterRegex,
