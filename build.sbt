@@ -27,6 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the heap: without -Xms the heap grows from ~2g DURING the timed
+  // region and the page-zeroing is billed to the run (measured: 27-40 s
+  // wall at local[32] unpinned vs 15-19 s pinned+pretouched). AlwaysPreTouch
+  // alone only helps pages committed at startup.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pre-touch at JVM start: on this virtualized host a lazy first-touch
+  // page fault costs ~10-25 us; 16 GB of them inside the timed region is
+  // tens of seconds (measured; see NOTES.md)
+  "-XX:+AlwaysPreTouch",
   // throughput collector: the extraction kernel is a batch allocator; G1's
   // pause targeting cost ~2x wall at 32 threads (measured in ScaleProbe).
   // On a real cluster: spark.executor.extraJavaOptions=-XX:+UseParallelGC.

@@ -14,6 +14,10 @@ import graft.model._
   */
 object Extractor {
 
+  /** Shared zero bbox (reference tables/cells carry [0,0,0,0],
+    * table_processor.py:57,66) — one instance, not one per cell. */
+  private val ZeroBox: Seq[Double] = Parse.box4(0d, 0d, 0d, 0d)
+
   /** Table cell normalization (reference: table_processor.py:38-72):
     * row-major cells, is_header = (row == 0), zero bbox, drop empty tables. */
   def processTableData(t: Parse.TableDict, pageNum: Int): Option[TableResult] = {
@@ -23,8 +27,8 @@ object Extractor {
         (row, rowIdx) <- t.data.zipWithIndex
         (cellText, colIdx) <- row.zipWithIndex
         if cellText != null
-      } yield TableCell(cellText, rowIdx, colIdx, Vector(0d, 0d, 0d, 0d), 1.0, rowIdx == 0)
-      Some(TableResult(cells, t.rows, t.cols, Vector(0d, 0d, 0d, 0d), 1.0, pageNum))
+      } yield TableCell(cellText, rowIdx, colIdx, ZeroBox, 1.0, rowIdx == 0)
+      Some(TableResult(cells, t.rows, t.cols, ZeroBox, 1.0, pageNum))
     }
   }
 

@@ -74,6 +74,12 @@ object Parse {
   val LineHeight = 18.0
   val TitleLineHeight = 22.0
 
+  /** Primitive-backed 4-element bbox: ArraySeq.ofDouble stores an unboxed
+    * Array[Double] (a Vector[Double] boxes all four — measured GC/bandwidth
+    * on the 40M-block path). Seq equality with Vector-built boxes holds. */
+  @inline def box4(x0: Double, top: Double, x1: Double, bottom: Double): Seq[Double] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(Array(x0, top, x1, bottom))
+
   def pageOf(offset: Int): Int = offset / SpansPerPage
   def lineIdxOf(offset: Int): Int = offset % SpansPerPage
 
@@ -139,7 +145,7 @@ object Parse {
   def deriveImage(span: Span): ImageDict = {
     val (top, _) = lineGeom(span.offset)
     val bottom = top + LineHeight
-    ImageDict(Vector(100.0, top, 500.0, bottom), 400.0, LineHeight, "image", if (span.media_ref == null) "" else span.media_ref)
+    ImageDict(box4(100.0, top, 500.0, bottom), 400.0, LineHeight, "image", if (span.media_ref == null) "" else span.media_ref)
   }
 
   // ---------------------------------------------------------------------
@@ -151,16 +157,18 @@ object Parse {
   // ---------------------------------------------------------------------
 
   /** One raw line as primitive arrays: chars (gaps excluded) + their grid
-    * positions (monotonic). Same font/size/top for the whole line by
-    * construction of the geometry template. */
+    * positions (monotonic); only the first `length` slots are live (the
+    * arrays are allocated at raw-text size and NOT trimmed — the copyOf pair
+    * per span was measured memory-bandwidth on the 32-thread path). Same
+    * font/size/top for the whole line by construction of the template. */
   final class CharRun(
       val chars: Array[scala.Char],
       val grid: Array[Int],
+      val length: Int,
       val top: Double,
       val bottom: Double,
       val fontname: String,
       val size: Double) {
-    def length: Int = chars.length
     def x0(i: Int): Double = LeftMargin + grid(i) * CharWidth
     def x1(i: Int): Double = x0(i) + CharWidth
     def text(a: Int, b: Int): String = new String(chars, a, b - a)
@@ -191,7 +199,7 @@ object Parse {
         chars(out) = c; grid(out) = pos; out += 1; pos += 1; i += 1
       }
     }
-    new CharRun(java.util.Arrays.copyOf(chars, out), java.util.Arrays.copyOf(grid, out), top, bottom, fontname, size)
+    new CharRun(chars, grid, out, top, bottom, fontname, size)
   }
 
   /** Array-based twin of [[splitLineByColumns]] over one CharRun: returns
@@ -240,7 +248,7 @@ object Parse {
     val fn = run.fontname.toLowerCase
     TextBlock(
       text = run.text(a, b),
-      bbox = Vector(run.x0(a), run.top, run.x1(b - 1), run.bottom),
+      bbox = box4(run.x0(a), run.top, run.x1(b - 1), run.bottom),
       font_size = Some(run.size),
       font_family = Some(run.fontname),
       is_bold = fn.contains("bold"),
@@ -335,8 +343,8 @@ object Parse {
 
   /** Bbox union over a char group (reference: pdf_processor.py:259-269). */
   def calculateBBox(chars: Seq[Char]): Seq[Double] = {
-    if (chars.isEmpty) Vector(0d, 0d, 0d, 0d)
-    else Vector(chars.map(_.x0).min, chars.map(_.top).min, chars.map(_.x1).max, chars.map(_.bottom).max)
+    if (chars.isEmpty) box4(0d, 0d, 0d, 0d)
+    else box4(chars.map(_.x0).min, chars.map(_.top).min, chars.map(_.x1).max, chars.map(_.bottom).max)
   }
 
   final case class FontInfo(size: Option[Double], fontname: Option[String], isBold: Boolean, isItalic: Boolean)
@@ -512,7 +520,26 @@ object Parse {
     PageData(pageNumber, PageWidth, PageHeight, textObjects, images.toVector, tables)
   }
 
-  /** Split a doc's spans into offset-ordered pages. */
-  def paginate(spans: Seq[Span]): Vector[(Int, Vector[Span])] =
-    spans.groupBy(s => pageOf(s.offset)).toVector.sortBy(_._1).map { case (p, ss) => (p, ss.sortBy(_.offset).toVector) }
+  /** Split a doc's spans into offset-ordered pages. Single pass over the
+    * offset-sorted stream (pageOf is monotone in offset, so page runs are
+    * contiguous) — the former per-doc groupBy allocated a HashMap on the
+    * hottest kernel path. */
+  def paginate(spans: Seq[Span]): Vector[(Int, Vector[Span])] = {
+    if (spans.isEmpty) return Vector.empty
+    val sorted = ensureSortedByOffset(spans)
+    val out = Vector.newBuilder[(Int, Vector[Span])]
+    var cur = Vector.newBuilder[Span]
+    var curPage = pageOf(sorted.head.offset)
+    sorted.foreach { s =>
+      val p = pageOf(s.offset)
+      if (p != curPage) {
+        out += ((curPage, cur.result()))
+        cur = Vector.newBuilder
+        curPage = p
+      }
+      cur += s
+    }
+    out += ((curPage, cur.result()))
+    out.result()
+  }
 }

@@ -36,24 +36,44 @@ object TextClean {
     * Hand-rolled single pass (no regex): String.split with a multi-char
     * pattern compiles a Pattern per call — measured as a top-3 hot frame on
     * the giant-doc path. */
-  def cleanLinePreserving(text: String): String = {
-    if (text == null) return null
+  def cleanLinePreserving(text: String): String = cleanCore(text)._1
+
+  /** [[cleanLinePreserving]] plus "did the input contain any line
+    * terminator" — detected for free inside the single pass (callers need it
+    * to decide whether per-block cleaning composes, see [[cleanText]]). */
+  private[kernel] def cleanCore(text: String): (String, Boolean) = {
+    if (text == null) return (null, false)
     val n = text.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0
     var lineHasContent = false // emitted a word on the current line
     var pendingSpace = false // whitespace seen since last word on this line
     var pendingNewlines = 0 // terminators seen; flushed lazily so a trailing run is trimmed
+    var sawTerminator = false
     while (i < n) {
       val c = text.charAt(i)
-      if (isLineTerminator(c)) {
+      // fast path: printable non-space below U+0085 is always content
+      // (every terminator/whitespace char is <= ' ' or >= U+0085)
+      if (c > ' ' && c < '\u0085') {
+        if (pendingNewlines > 0) {
+          sawTerminator = true
+          while (pendingNewlines > 0) { sb.append('\n'); pendingNewlines -= 1 }
+        }
+        if (lineHasContent && pendingSpace) sb.append(' ')
+        sb.append(c)
+        lineHasContent = true
+        pendingSpace = false
+      } else if (isLineTerminator(c)) {
         if (c == '\r' && i + 1 < n && text.charAt(i + 1) == '\n') i += 1
         pendingNewlines += 1
         lineHasContent = false
         pendingSpace = false
       } else if (isPySpace(c)) pendingSpace = true
       else {
-        while (pendingNewlines > 0) { sb.append('\n'); pendingNewlines -= 1 }
+        if (pendingNewlines > 0) {
+          sawTerminator = true
+          while (pendingNewlines > 0) { sb.append('\n'); pendingNewlines -= 1 }
+        }
         if (lineHasContent && pendingSpace) sb.append(' ')
         sb.append(c)
         lineHasContent = true
@@ -61,10 +81,11 @@ object TextClean {
       }
       i += 1
     }
+    if (pendingNewlines > 0) sawTerminator = true
     // k trailing terminators produce k-1 newlines (the final one closes the
     // last line instead of opening an empty one — Python splitlines)
     while (pendingNewlines > 1) { sb.append('\n'); pendingNewlines -= 1 }
-    sb.toString
+    (sb.toString, sawTerminator)
   }
 
   def cleanText(result: DocResult): DocResult = {
@@ -74,9 +95,14 @@ object TextClean {
         p.copy(text_blocks = p.text_blocks.map(b =>
           if (b.text != null && b.text.nonEmpty) b.copy(text = cleanLinePreserving(b.text)) else b))))
     } else {
+      var anyTerminator = false // detected inside the cleaning pass, no extra scan
       val cleanedPages = result.pages.map(p =>
         p.copy(text_blocks = p.text_blocks.map(b =>
-          if (b.text != null && b.text.nonEmpty) b.copy(text = cleanLinePreserving(b.text)) else b)))
+          if (b.text != null && b.text.nonEmpty) {
+            val (cleaned, saw) = cleanCore(b.text)
+            if (saw) anyTerminator = true
+            b.copy(text = cleaned)
+          } else b)))
       // cleaned(join(blocks, "\n\n")) == join(cleaned blocks, "\n\n"):
       // cleaning is per-line and the join boundaries are newlines, so the
       // merged text is rebuilt from the already-cleaned blocks instead of
@@ -91,8 +117,6 @@ object TextClean {
       // the merged string directly, exactly like the reference.
       // inclusion is decided on the RAW text (the reference merged before
       // cleaning): a block that cleans to "" still contributes its element
-      val anyTerminator = result.pages.exists(_.text_blocks.exists(b =>
-        b.text != null && b.text.exists(isLineTerminator)))
       val newText =
         if (anyTerminator) cleanLinePreserving(result.text)
         else result.pages.zip(cleanedPages).flatMap { case (raw, cleaned) =>

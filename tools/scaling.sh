@@ -7,9 +7,13 @@ NDOCS=${1:-160000}
 CORPUS=target/scaling_corpus.parquet
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-16g}
 export SPARK_GRAFT_JVM_OPTS="${SPARK_GRAFT_JVM_OPTS:--XX:+AlwaysPreTouch}"
+# -Xms == -Xmx comes from build.sbt (pinned heap; growth-zeroing otherwise
+# lands inside the timed region and costs ~2x wall at local[32])
 echo "== gen $NDOCS docs"
 sbt -batch "runMain graft.ScalingBench gen $NDOCS $CORPUS" >/dev/null 2>&1
-for C in 2 8 32; do
+# back-to-back single window: cross-window ratios are meaningless on this
+# multi-tenant host (see BENCH/BASELINE.md noise appendix)
+for C in 2 4 8 16 32; do
   echo "== run local[$C]"
   sbt -batch "runMain graft.ScalingBench run $C $CORPUS" 2>/dev/null | grep -o '{"cores".*}'
 done
