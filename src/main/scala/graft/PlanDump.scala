@@ -30,7 +30,11 @@ object PlanDump extends App {
     ("q30 cosine top-k", "vec_id < 10 pushed into the parquet scan; window ranks only the scored candidates.",
      ops.Queries.all("q30_cosine_topk")(spark, sf)),
     ("q37 salted aggregation", "Two HashAggregate pairs: 16-way salted shuffle then tiny re-aggregation — the hot-key shape.",
-     ops.Queries.all("q37_salted_agg")(spark, sf)))
+     ops.Queries.all("q37_salted_agg")(spark, sf)),
+    ("q26 n-gram Jaccard join", "Equi-join on the shifted doc_id with NO broadcast hint (VERDICT r01: hinted broadcast of a corpus-sized side is a 100 TB OOM) — the planner/AQE picks from stats; at scale this is a shuffle join on the key.",
+     ops.Queries.all("q26_ngram_jaccard")(spark, sf)),
+    ("q31 ANN LSH buckets", "Hyperplane sign weights are array LITERALS (precomputed once; previously an md5 per plane x dim x row) — the scan feeds a pure projection + hash aggregate.",
+     ops.Queries.all("q31_ann_lsh_buckets")(spark, sf)))
   val md = new StringBuilder
   md ++= "# PLANS — physical plans of the pipeline and key operators\n\n"
   md ++= "Captured by `graft.PlanDump` at local[8], AQE on, sf0.001.\n"
