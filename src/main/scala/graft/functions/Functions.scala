@@ -62,6 +62,37 @@ case class TokenCountExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Static-forwarder host for codegen (top-level objects get static
+  * forwarders, so generated Java can call `NfcHelper.nfc(...)` directly). */
+object NfcHelper {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; most corpus text
+    // is already NFC and skips the allocation entirely
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Native Catalyst expression: Unicode NFC normalization (java.text.
+  * Normalizer) — the canonical text-normalization step of a training-data
+  * pipeline, as a codegen'd expression (no UDF serialization overhead;
+  * stays inside WholeStageCodegen via a static call). */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc expects STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    NfcHelper.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcHelper.nfc($c)")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
 /** Typed bbox-union aggregator: [min x0, min top, max x1, max bottom] over a
   * group of bboxes — the reference's calculate_bbox (pdf_processor.py:259-269)
   * as a real distributed aggregation with map-side partial combine. */
@@ -94,11 +125,18 @@ object Functions {
     org.apache.spark.sql.graft.Bridge.column(
       TokenCountExpr(org.apache.spark.sql.graft.Bridge.expression(c)))
 
+  /** Native Unicode NFC normalization (see [[NfcNormalizeExpr]]). */
+  def nfc_normalize(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      NfcNormalizeExpr(org.apache.spark.sql.graft.Bridge.expression(c)))
+
   /** Register the engine's functions for SQL use:
     * graft_token_count, graft_hash32, graft_simhash32. */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_token_count", exprs => TokenCountExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalizeExpr(exprs.head), "built-in")
     spark.udf.register("graft_hash32",
       (s: String) => graft.ops.TextOps.hash32Kernel(if (s == null) "" else s))
     spark.udf.register("graft_simhash32",

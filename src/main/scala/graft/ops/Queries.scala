@@ -759,6 +759,122 @@ object Queries {
       |FROM m""".stripMargin
 
   // -------------------------------------------------------------------
+  // Training-data operators, batch 2 (round 2): corpus-hygiene heuristics a
+  // 100 TB pretraining pipeline applies before tokenization. All pure
+  // Catalyst expressions (map-side, no shuffle except the final tiny aggs).
+  // -------------------------------------------------------------------
+
+  /** C4-style heuristic quality filters (Raffel et al. 2020, public
+    * heuristics): terminal-punctuation line fraction, lorem-ipsum marker,
+    * curly-brace (code) marker, combined keep flag. */
+  private val qC4Heuristics: Q = (spark, sfDir) => {
+    val lines = split(col("text"), "\n", -1)
+    val nLines = size(lines)
+    val endPunct = size(filter(lines, l => trim(l).rlike("[.!?\"]$")))
+    val frac = round(endPunct.cast("double") / nLines, 4)
+    val hasLorem = lower(col("text")).contains("lorem ipsum")
+    val hasBrace = col("text").contains("{")
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      nLines.as("n_lines"),
+      frac.as("end_punct_frac"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (frac >= 0.3 && !hasLorem && !hasBrace).as("keep"))
+  }
+  private val oC4Heuristics =
+    """WITH s AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+      |m AS (SELECT doc_id, text,
+      |  CAST(len(lines) AS INTEGER) AS n_lines,
+      |  round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$'))) AS DOUBLE) / len(lines), 4) AS end_punct_frac,
+      |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |  contains(text, '{') AS has_brace
+      |  FROM s)
+      |SELECT doc_id, n_lines, end_punct_frac, has_lorem, has_brace,
+      |  (end_punct_frac >= 0.3 AND NOT has_lorem AND NOT has_brace) AS keep
+      |FROM m""".stripMargin
+
+  /** Unicode NFC normalization via the native codegen'd expression
+    * (graft.functions.NfcNormalizeExpr); already_nfc by string equality
+    * (engine-neutral — avoids length-unit differences). */
+  private val qNfcNormalize: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      graft.functions.Functions.nfc_normalize(col("text")).as("nfc_text"),
+      (graft.functions.Functions.nfc_normalize(col("text")) === col("text")).as("already_nfc"))
+  private val oNfcNormalize =
+    """SELECT doc_id, nfc_normalize(text) AS nfc_text,
+      |nfc_normalize(text) = text AS already_nfc FROM documents""".stripMargin
+
+  /** Deterministic hash-Bernoulli sampling (the reproducible corpus-sampling
+    * primitive at 100 TB — no RNG state, any subset recomputable): keep docs
+    * with hash32(doc_id) % 100 < 10, reported per language stratum. */
+  private val qHashSample: Q = (spark, sfDir) => {
+    val keep = TextOps.hash32(col("doc_id").cast("string")) % 100 < 10
+    doc(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+  }
+  private val oHashSample =
+    """SELECT lang, count(*) AS n_docs,
+      |CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents GROUP BY lang""".stripMargin
+
+  /** URL/domain extraction + dedup-by-domain (URL-keyed dedup shape): derive
+    * a URL per doc, regexp-extract the domain, group (linear, map-side
+    * partial agg — never materialized pairs). */
+  private val qUrlDomain: Q = (spark, sfDir) => {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"), col("doc_id"))
+    doc(spark, sfDir)
+      .select(col("doc_id"), regexp_extract(url, "^https?://([^/]+)/", 1).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+  }
+  private val oUrlDomain =
+    """WITH u AS (SELECT doc_id,
+      |  regexp_extract('https://' || source || '.example.com/docs/' || doc_id, '^https?://([^/]+)/', 1) AS domain
+      |  FROM documents)
+      |SELECT domain, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM u GROUP BY domain""".stripMargin
+
+  /** Per-language length quartiles via ntile over a deterministic total
+    * order — the stratified length-bucketing used for curriculum/sampling
+    * decisions; exact (not approximate percentile) so it oracles. */
+  private val qLengthQuartiles: Q = (spark, sfDir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
+    doc(spark, sfDir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy("lang", "quartile")
+      .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+  }
+  private val oLengthQuartiles =
+    """WITH q AS (SELECT lang, n_chars, doc_id,
+      |  ntile(4) OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS quartile
+      |  FROM documents)
+      |SELECT lang, CAST(quartile AS INTEGER) AS quartile, count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM q GROUP BY lang, quartile""".stripMargin
+
+  /** Corpus token frequency top-25 (wordcount): explode -> map-side partial
+    * count -> final agg -> deterministic top-k. The canonical vocabulary-
+    * building scan; at 100 TB the partial aggregation bounds shuffle volume
+    * by distinct-token cardinality, not token count. */
+  private val qTokenTopK: Q = (spark, sfDir) =>
+    doc(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(25)
+  private val oTokenTopK =
+    """WITH t AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents)
+      |SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+      |ORDER BY cnt DESC, tok ASC LIMIT 25""".stripMargin
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
     "q01_extract_spans" -> qExtractSpans,
@@ -799,7 +915,13 @@ object Queries {
     "q36_bbox_union_typed" -> qBBoxUnionTyped,
     "q37_salted_agg" -> qSaltedAgg,
     "q38_sessionize" -> qSessionize,
-    "q39_repetition_filter" -> qRepetitionFilter
+    "q39_repetition_filter" -> qRepetitionFilter,
+    "q40_c4_heuristics" -> qC4Heuristics,
+    "q41_nfc_normalize" -> qNfcNormalize,
+    "q42_hash_sample" -> qHashSample,
+    "q43_url_domain" -> qUrlDomain,
+    "q44_length_quartiles" -> qLengthQuartiles,
+    "q45_token_topk" -> qTokenTopK
   )
 
   val oracles: Map[String, String] = Map(
@@ -841,6 +963,12 @@ object Queries {
     "q37_salted_agg" -> oSaltedAgg,
     "q31_ann_lsh_buckets" -> oAnnLshBuckets,
     "q38_sessionize" -> oSessionize,
-    "q39_repetition_filter" -> oRepetitionFilter
+    "q39_repetition_filter" -> oRepetitionFilter,
+    "q40_c4_heuristics" -> oC4Heuristics,
+    "q41_nfc_normalize" -> oNfcNormalize,
+    "q42_hash_sample" -> oHashSample,
+    "q43_url_domain" -> oUrlDomain,
+    "q44_length_quartiles" -> oLengthQuartiles,
+    "q45_token_topk" -> oTokenTopK
   )
 }

@@ -93,6 +93,18 @@ class PlanSpec extends AnyFunSuite {
     assert(r.getLong(2) == ops.TextOps.simhash32Kernel("a b"))
   }
 
+  test("native NfcNormalizeExpr: codegen'd, values match java.text.Normalizer") {
+    graft.functions.Functions.registerAll(spark)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.Functions.nfc_normalize(col("text")).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [nfcnormalizeexpr"), s"NFC fell out of codegen:\n${plan.take(800)}")
+    // decomposed e + combining acute -> precomposed U+00E9; ASCII untouched
+    val r = spark.sql("SELECT graft_nfc('Cafe\u0301 x') AS a, graft_nfc('plain') AS b").collect()(0)
+    assert(r.getString(0) == "Caf\u00e9 x")
+    assert(r.getString(1) == "plain")
+  }
+
   test("typed BBoxUnionAgg matches groupBy min/max") {
     import spark.implicits._
     val boxes = Seq(
