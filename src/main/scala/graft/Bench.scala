@@ -49,12 +49,38 @@ object Bench {
     val extractSec = (System.nanoTime() - t0) / 1e9
     val docs = stats.getLong(0); val pages = stats.getLong(1); val spans = stats.getLong(2)
 
+    // sustained extraction throughput: the per-sf corpus above is small
+    // enough that scheduling/codegen overhead dominates (a 3 s job says
+    // nothing about pages/sec); this leg materializes a 40k-doc fixture
+    // corpus (archetype mix incl. 1-in-20 giants) to parquet UNTIMED, then
+    // times the contract pipeline over it — the BASELINE.md metric shape.
+    val sustainedDir = java.nio.file.Files.createTempDirectory("bench_sustained").toString + "/corpus.parquet"
+    locally {
+      import spark.implicits._
+      spark.createDataset(graft.fixtures.Fixtures.corpusIds(40000))
+        .repartition(128)
+        .map(graft.fixtures.Fixtures.gen _)
+        .write.mode("overwrite").parquet(sustainedDir)
+    }
+    val sustainedIn = spark.read.parquet(sustainedDir)
+    // JIT warmup (same plan, small slice), then the timed full pass
+    graft.pipeline.Extract.extractContract(sustainedIn.limit(1500)).selectExpr("count(*)").collect()
+    val s0 = System.nanoTime()
+    val sStats = graft.pipeline.Extract.extractContract(sustainedIn)
+      .filter(!org.apache.spark.sql.functions.col("quarantined"))
+      .selectExpr("count(*) AS docs", "sum(num_pages) AS pages", "sum(coalesce(size(spans),0)) AS spans")
+      .collect()(0)
+    val sSec = (System.nanoTime() - s0) / 1e9
+    val sDocs = sStats.getLong(0); val sPages = sStats.getLong(1); val sSpans = sStats.getLong(2)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + extractSec
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""extract":{"sec":$extractSec,"docs":$docs,"pages":$pages,"spans":$spans,""" +
       s""""docs_per_sec":${docs / extractSec},"pages_per_sec":${pages / extractSec}},""" +
+      s""""extract_sustained":{"sec":$sSec,"docs":$sDocs,"pages":$sPages,"spans":$sSpans,""" +
+      s""""docs_per_sec":${sDocs / sSec},"pages_per_sec":${sPages / sSec}},""" +
       s""""cpus":$cpus}""")
     spark.stop()
   }

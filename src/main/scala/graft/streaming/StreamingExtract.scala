@@ -48,6 +48,35 @@ object StreamingExtract {
       .start()
   }
 
+  /** Streaming exact-dedup with custom state
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`): keyed by content
+    * fingerprint, emits only the FIRST occurrence of each fingerprint across
+    * the whole stream; duplicates arriving in any later (or the same)
+    * micro-batch are dropped. State per key is one boolean + the kept
+    * doc_id — bounded by distinct-content cardinality, the same state size
+    * a batch dedup's shuffle would materialize. Update-mode compatible. */
+  def dedupStream(docs: DataFrame): org.apache.spark.sql.Dataset[(String, String)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      .as[(String, String)]
+      .map { case (id, text) => (graft.ops.TextOps.hash32Kernel(
+        if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")).toString, id) }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[String, (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (fp: String, rows: Iterator[(String, String)], state: GroupState[String]) =>
+          if (state.exists) Iterator.empty // fingerprint already emitted in a prior batch
+          else {
+            val first = rows.map(_._2).min // deterministic representative within the batch
+            state.update(first)
+            Iterator.single((fp, first))
+          }
+      }
+  }
+
   /** Watermarked windowed throughput metrics over an evented span stream:
     * (event_time, doc_id, n_spans) -> per-minute doc/span counts with
     * 2-minute lateness tolerance. The stateful-aggregation shape for

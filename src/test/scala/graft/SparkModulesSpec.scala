@@ -183,6 +183,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.columns.toSet == Set("doc_id", "spans", "num_pages", "quarantined", "error", "error_code"))
   }
 
+  test("stateful streaming dedup: first occurrence wins across micro-batches (flatMapGroupsWithState)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = StructType(Seq(StructField("doc_id", StringType), StructField("text", StringType)))
+    def runBatch(): Unit = {
+      val q = graft.streaming.StreamingExtract.dedupStream(
+        spark.readStream.schema(schema).parquet(in))
+        .toDF("fp", "keep_doc_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // batch 1: a and c normalize to the same fingerprint ("hello world")
+    Seq(("a", "hello world"), ("b", "other text"), ("c", "Hello   WORLD"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    runBatch()
+    // batch 2: d duplicates batch-1 content (state must drop it), e is new
+    Seq(("d", "hello world"), ("e", "fresh content"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    runBatch()
+    val rows = spark.read.parquet(out).as[(String, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate fingerprint emitted")
+    assert(rows.length == 3, s"expected 3 unique contents, got ${rows.toSeq}")
+    assert(rows.exists(_._2 == "a"), "within-batch representative should be min doc_id 'a'")
+    assert(!rows.exists(_._2 == "d"), "cross-batch duplicate leaked through state")
+  }
+
   test("windowed throughput aggregation shape") {
     import spark.implicits._
     val events = Seq(
