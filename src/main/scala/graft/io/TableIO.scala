@@ -174,6 +174,21 @@ object TableIO {
   }
 
   /** Read the current committed snapshot (or a named one). */
+  /** Bucketed table write: pre-hash-partition + sort by the join key so
+    * doc-keyed joins between co-bucketed tables plan WITHOUT a shuffle
+    * (SortMergeJoin over bucket-aligned scans — the 100 TB pattern for
+    * repeated joins on doc_id, e.g. spans x metadata x quality scores;
+    * the Exchange that a plain parquet join needs on BOTH corpus-sized
+    * sides disappears). Uses the session catalog's managed-table bucketing
+    * (swap for Iceberg bucket partition transforms on a real catalog). */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   def readSnapshot(spark: SparkSession, root: String, snapshotId: Option[String] = None): DataFrame = {
     val id = snapshotId.orElse(currentSnapshot(root))
       .getOrElse(throw new IllegalStateException(s"no committed snapshot under $root"))

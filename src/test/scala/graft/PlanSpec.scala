@@ -105,6 +105,39 @@ class PlanSpec extends AnyFunSuite {
     assert(r.getString(1) == "plain")
   }
 
+  test("co-bucketed doc-keyed join plans without a shuffle (TableIO.writeBucketed)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bspec_docs")
+    spark.sql("DROP TABLE IF EXISTS bspec_quality")
+    val wh = new java.io.File("spark-warehouse")
+    Seq("bspec_docs", "bspec_quality").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
+    val docs = (0 until 200).map(i => (s"doc-$i", i * 37 % 997)).toDF("doc_id", "n_spans")
+    val quality = (0 until 200).map(i => (s"doc-$i", (i * 13 % 100) / 100.0)).toDF("doc_id", "quality")
+    graft.io.TableIO.writeBucketed(docs, "bspec_docs", "doc_id", 8)
+    graft.io.TableIO.writeBucketed(quality, "bspec_quality", "doc_id", 8)
+    // force the sort-merge path (at 100 TB neither side broadcasts): the
+    // point under test is that co-bucketed scans join with NO ShuffleExchange
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bspec_docs").join(spark.table("bspec_quality"), "doc_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join shuffled:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n${plan.take(1500)}")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"scan not bucket-aware:\n${plan.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bspec_docs")
+      spark.sql("DROP TABLE IF EXISTS bspec_quality")
+    }
+  }
+
   test("typed BBoxUnionAgg matches groupBy min/max") {
     import spark.implicits._
     val boxes = Seq(
