@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / resize / frame-sample
   * kernels over `mapPartitions`.
   *
-  * The media codecs themselves are STUBBED (this container ships no
-  * image/audio libraries): `decodeStub` produces a deterministic fake raster
-  * from the bytes. Everything Spark-side — schema, batch shape, partition
-  * strategy, UDF signatures, pushdown behavior — is real and tested; swap
-  * `decodeStub` for an actual codec on a real cluster.
+  * Codec status: PNM images (binary PGM `P5` / PPM `P6`) are decoded by a
+  * REAL pure-JVM parser ([[decodePnm]] — no external libraries needed), and
+  * the synthetic corpus generates genuine PGM payloads, so the decode path
+  * runs end-to-end on real image bytes. Other formats (JPEG/PNG/audio/video)
+  * still fall back to [[decodeStub]] — this container ships no codec
+  * libraries; swap the fallback for ImageIO/ffmpeg bindings on a real
+  * cluster. Everything Spark-side — schema, batch shape, partition strategy,
+  * join shape — is real and tested either way.
   */
 object Multimodal {
 
@@ -32,22 +35,25 @@ object Multimodal {
       kind: String,
       n_bytes: Int,
       sha1: String,
-      // decoded-raster features (stub-deterministic)
+      decoder: String, // "pnm" (real parse) | "stub" (fallback)
       mean_luma: Double,
       edge_score: Double,
       phash64: Long)
 
-  /** Deterministic fake media corpus keyed by the extraction output's
-    * media_refs — (ref, bytes) with bytes a seeded pseudo-raster. */
+  /** Deterministic synthetic media corpus keyed by the extraction output's
+    * media_refs: REAL binary PGM (P5) files with a seeded pseudo-raster —
+    * genuine image bytes the real decoder parses. */
   def syntheticMedia(spark: SparkSession, refs: Dataset[(String, String)]): Dataset[MediaRow] = {
     import spark.implicits._
     refs.map { case (ref, docId) =>
       val seed = ref.hashCode.toLong & 0xffffffffL
       val w = 16 + (seed % 48).toInt
       val h = 16 + ((seed >> 8) % 48).toInt
-      val bytes = new Array[Byte](w * h)
+      val header = s"P5\n# graft synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+      val bytes = new Array[Byte](header.length + w * h)
+      System.arraycopy(header, 0, bytes, 0, header.length)
       var s = seed
-      var i = 0
+      var i = header.length
       while (i < bytes.length) {
         s = s * 6364136223846793005L + 1442695040888963407L
         bytes(i) = (s >>> 56).toByte
@@ -57,9 +63,59 @@ object Multimodal {
     }
   }
 
-  /** STUB decode: bytes -> grayscale raster. A real implementation would
-    * call an image codec here; the deterministic fake keeps the pipeline
-    * testable end-to-end. Marked clearly per the build contract. */
+  /** REAL PNM decoder (binary PGM `P5` and PPM `P6`, maxval <= 255) — pure
+    * JVM, handles `#` comments and arbitrary header whitespace per the
+    * netpbm spec. Returns the luma raster (P6 via BT.601 weights), or None
+    * when the bytes are not a well-formed binary PNM. */
+  def decodePnm(content: Array[Byte]): Option[Array[Array[Int]]] = {
+    if (content == null || content.length < 2 || content(0) != 'P') return None
+    val kind = content(1)
+    if (kind != '5' && kind != '6') return None
+    var pos = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && pos < content.length) {
+        val c = content(pos)
+        if (c == '#') { while (pos < content.length && content(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == 11 || c == '\f') pos += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = -1
+      while (pos < content.length && content(pos) >= '0' && content(pos) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (content(pos) - '0')
+        pos += 1
+        if (v > (1 << 26)) return -1 // absurd dimension: reject
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255 || w.toLong * h > (1L << 26)) return None
+    pos += 1 // exactly one whitespace byte after maxval, then the raster
+    val channels = if (kind == '5') 1 else 3
+    if (content.length - pos < w.toLong * h * channels) return None
+    val raster = Array.ofDim[Int](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = pos + (y * w + x) * channels
+        raster(y)(x) =
+          if (channels == 1) content(base) & 0xff
+          else ((content(base) & 0xff) * 299 + (content(base + 1) & 0xff) * 587 +
+            (content(base + 2) & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    Some(raster)
+  }
+
+  /** STUB decode fallback for formats without an in-container codec:
+    * bytes -> deterministic grayscale raster. A real implementation would
+    * dispatch to ImageIO/ffmpeg here. */
   def decodeStub(content: Array[Byte], width: Int, height: Int): Array[Array[Int]] = {
     val raster = Array.ofDim[Int](height, width)
     var i = 0
@@ -70,9 +126,17 @@ object Multimodal {
     raster
   }
 
-  /** STUB resize: nearest-neighbor downsample of the decoded raster —
-    * real-shape plumbing for the preprocessing stage. */
-  def resizeStub(raster: Array[Array[Int]], outW: Int, outH: Int): Array[Array[Int]] = {
+  /** Decode dispatch: real PNM parse first, stub fallback otherwise.
+    * Returns (raster, decoderName). */
+  def decode(content: Array[Byte], width: Int, height: Int): (Array[Array[Int]], String) =
+    decodePnm(content) match {
+      case Some(r) => (r, "pnm")
+      case None => (decodeStub(if (content == null) Array.empty[Byte] else content,
+        math.max(1, width), math.max(1, height)), "stub")
+    }
+
+  /** Nearest-neighbor resize of a decoded raster (real, not a stub). */
+  def resizeNearest(raster: Array[Array[Int]], outW: Int, outH: Int): Array[Array[Int]] = {
     val h = raster.length
     val w = if (h == 0) 0 else raster(0).length
     Array.tabulate(outH, outW) { (y, x) =>
@@ -80,10 +144,9 @@ object Multimodal {
     }
   }
 
-  /** STUB frame-sample: pick every k-th "frame" of a byte stream (video
-    * stand-in): returns frame offsets — the partition/batch shape is what
-    * matters at scale. */
-  def frameSampleStub(nBytes: Int, frameBytes: Int, everyK: Int): Seq[Int] =
+  /** Frame sampling for byte-stream video stand-ins: every k-th frame's
+    * byte offset (the partition/batch shape is what matters at scale). */
+  def frameSample(nBytes: Int, frameBytes: Int, everyK: Int): Seq[Int] =
     (0 until nBytes / math.max(1, frameBytes) by math.max(1, everyK)).map(_ * frameBytes)
 
   private def sha1Hex(bytes: Array[Byte]): String = {
@@ -92,14 +155,14 @@ object Multimodal {
   }
 
   /** Feature extraction kernel: decode -> resize 8x8 -> mean/edge/pHash.
-    * One `mapPartitions` pass; the per-row work is the real shape of a media
-    * featurizer even though the decode is a stub. */
+    * One `mapPartitions` pass; with PNM payloads the decode is a real
+    * image parse. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
       val content = if (m.content == null) Array.empty[Byte] else m.content
-      val raster = decodeStub(content, math.max(1, m.width), math.max(1, m.height))
-      val small = resizeStub(raster, 8, 8)
+      val (raster, decoder) = decode(content, m.width, m.height)
+      val small = resizeNearest(raster, 8, 8)
       val flat = small.flatten
       val mean = if (flat.isEmpty) 0.0 else flat.sum.toDouble / flat.length
       var edges = 0.0
@@ -116,7 +179,7 @@ object Multimodal {
         i += 1
       }
       MediaFeatures(m.media_ref, m.doc_id, m.kind, content.length, sha1Hex(content),
-        mean, edges / 56.0, phash)
+        decoder, mean, edges / 56.0, phash)
     })
   }
 

@@ -143,17 +143,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.nonEmpty)
     assert(feats.forall(_.n_bytes > 0))
     assert(feats.forall(f => f.sha1.length == 40))
+    assert(feats.forall(_.decoder == "pnm"), "synthetic PGM payloads must take the REAL decode path")
     assert(feats.map(_.media_ref).distinct.length == feats.length)
     // determinism
     val again = graft.ops.Multimodal.mediaFeaturesForCorpus(spark, spansTable).collect()
     assert(feats.sortBy(_.media_ref).toSeq == again.sortBy(_.media_ref).toSeq)
   }
 
-  test("resize/frame-sample stubs keep the batch shape") {
-    val raster = graft.ops.Multimodal.decodeStub(Array.tabulate(256)(_.toByte), 16, 16)
-    val small = graft.ops.Multimodal.resizeStub(raster, 8, 8)
+  test("real PNM decoder: P5/P6 parse, comments, luma, malformed fallback") {
+    import graft.ops.Multimodal
+    // P5 grayscale 2x2 with a header comment
+    val p5 = "P5\n# c\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20, 30, 40)
+    val r5 = Multimodal.decodePnm(p5)
+    assert(r5.contains(Array(Array(10, 20), Array(30, 40)).toSeq.map(_.toSeq))
+      || r5.get.map(_.toSeq).toSeq == Seq(Seq(10, 20), Seq(30, 40)))
+    // P6 RGB 1x1 pure red -> BT.601 luma 76
+    val p6 = "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](255.toByte, 0, 0)
+    assert(Multimodal.decodePnm(p6).get.head.head == 76)
+    // malformed: truncated raster / wrong magic -> None (falls back to stub)
+    assert(Multimodal.decodePnm("P5\n4 4\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2)).isEmpty)
+    assert(Multimodal.decodePnm("JFIF....".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.decode("JFIF....".getBytes("US-ASCII"), 4, 2)._2 == "stub")
+    // resize + frame sampling (real nearest-neighbor / offsets)
+    val raster = Multimodal.decodeStub(Array.tabulate(256)(_.toByte), 16, 16)
+    val small = Multimodal.resizeNearest(raster, 8, 8)
     assert(small.length == 8 && small(0).length == 8)
-    assert(graft.ops.Multimodal.frameSampleStub(1000, 100, 2) == Seq(0, 200, 400, 600, 800))
+    assert(Multimodal.frameSample(1000, 100, 2) == Seq(0, 200, 400, 600, 800))
   }
 }
 
