@@ -138,6 +138,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions: native functions injectable via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // keep the shared session alive
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions()(_))
+        .getOrCreate()
+      val r = s2.sql("SELECT graft_token_count(' a  b c ') AS n, graft_nfc('Cafe\u0301') AS t").collect()(0)
+      assert(r.getInt(0) == 3)
+      assert(r.getString(1) == "Caf\u00e9")
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("typed BBoxUnionAgg matches groupBy min/max") {
     import spark.implicits._
     val boxes = Seq(
