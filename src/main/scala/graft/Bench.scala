@@ -73,6 +73,17 @@ object Bench {
     val sSec = (System.nanoTime() - s0) / 1e9
     val sDocs = sStats.getLong(0); val sPages = sStats.getLong(1); val sSpans = sStats.getLong(2)
 
+    // clean up the temp corpus — it leaked ~per-run disk otherwise (ADVICE r02)
+    locally {
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      val root = Paths.get(sustainedDir).getParent
+      if (root != null && Files.exists(root)) {
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + extractSec
     println(

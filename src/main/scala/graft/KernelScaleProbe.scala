@@ -18,7 +18,11 @@ object KernelScaleProbe extends App {
   val threadsList = args.lift(1).map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 2, 4, 8, 16, 32))
 
   val giants = (0 until nGiants).map(i => Fixtures.gen(Fixtures.docId("skewed_giant", i))).toArray
-  val pagesTotal = giants.iterator.map(d => d.spans.length / graft.kernel.Parse.SpansPerPage + 1).sum
+  val pagesTotal = giants.iterator.map { d =>
+    // ceiling division (ADVICE r02: n/SpansPerPage+1 overcounts exact multiples)
+    if (d.spans.isEmpty) 1
+    else (d.spans.length + graft.kernel.Parse.SpansPerPage - 1) / graft.kernel.Parse.SpansPerPage
+  }.sum
 
   // JIT warmup to steady state
   giants.take(32).foreach(Extractor.extractDoc(_))

@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Codec status: PNM images (binary PGM `P5` / PPM `P6`) are decoded by a
   * REAL pure-JVM parser ([[decodePnm]] — no external libraries needed), and
-  * the synthetic corpus generates genuine PGM payloads, so the decode path
-  * runs end-to-end on real image bytes. Other formats (JPEG/PNG/audio/video)
-  * still fall back to [[decodeStub]] — this container ships no codec
-  * libraries; swap the fallback for ImageIO/ffmpeg bindings on a real
-  * cluster. Everything Spark-side — schema, batch shape, partition strategy,
-  * join shape — is real and tested either way.
+  * JPEG/PNG/GIF/BMP/TIFF are decoded by the JDK's own `javax.imageio`
+  * readers ([[decodeImageIO]] — also zero external libraries). The synthetic
+  * corpus generates genuine PGM, PNG and JPEG payloads, so all three decode
+  * paths run end-to-end on real image bytes. Only audio/video remain
+  * stub-fallback ([[decodeStub]]) — the JDK ships no audio/video codecs;
+  * swap that fallback for ffmpeg bindings on a real cluster. Everything
+  * Spark-side — schema, batch shape, partition strategy, join shape — is
+  * real and tested either way.
   */
 object Multimodal {
 
@@ -35,32 +37,52 @@ object Multimodal {
       kind: String,
       n_bytes: Int,
       sha1: String,
-      decoder: String, // "pnm" (real parse) | "stub" (fallback)
+      decoder: String, // "pnm" | "imageio" (real parses) | "stub" (fallback)
       mean_luma: Double,
       edge_score: Double,
       phash64: Long)
 
   /** Deterministic synthetic media corpus keyed by the extraction output's
-    * media_refs: REAL binary PGM (P5) files with a seeded pseudo-raster —
-    * genuine image bytes the real decoder parses. */
+    * media_refs: REAL image files — a seeded pseudo-raster encoded as binary
+    * PGM (P5), PNG or JPEG (round-robin by ref hash), so both the pure-JVM
+    * PNM parser and the `javax.imageio` dispatch run on genuine bytes. */
   def syntheticMedia(spark: SparkSession, refs: Dataset[(String, String)]): Dataset[MediaRow] = {
     import spark.implicits._
     refs.map { case (ref, docId) =>
       val seed = ref.hashCode.toLong & 0xffffffffL
       val w = 16 + (seed % 48).toInt
       val h = 16 + ((seed >> 8) % 48).toInt
-      val header = s"P5\n# graft synthetic\n$w $h\n255\n".getBytes("US-ASCII")
-      val bytes = new Array[Byte](header.length + w * h)
-      System.arraycopy(header, 0, bytes, 0, header.length)
+      val raster = new Array[Byte](w * h)
       var s = seed
-      var i = header.length
-      while (i < bytes.length) {
+      var i = 0
+      while (i < raster.length) {
         s = s * 6364136223846793005L + 1442695040888963407L
-        bytes(i) = (s >>> 56).toByte
+        raster(i) = (s >>> 56).toByte
         i += 1
+      }
+      val bytes = (seed % 3) match {
+        case 0 => encodePgm(raster, w, h)
+        case 1 => encodeViaImageIO(raster, w, h, "png")
+        case _ => encodeViaImageIO(raster, w, h, "jpg")
       }
       MediaRow(ref, docId, "image", bytes, w, h, 0L)
     }
+  }
+
+  private def encodePgm(raster: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val header = s"P5\n# graft synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+    val bytes = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, bytes, 0, header.length)
+    System.arraycopy(raster, 0, bytes, header.length, w * h)
+    bytes
+  }
+
+  private def encodeViaImageIO(raster: Array[Byte], w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, raster)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
   }
 
   /** REAL PNM decoder (binary PGM `P5` and PPM `P6`, maxval <= 255) — pure
@@ -113,9 +135,42 @@ object Multimodal {
     Some(raster)
   }
 
-  /** STUB decode fallback for formats without an in-container codec:
-    * bytes -> deterministic grayscale raster. A real implementation would
-    * dispatch to ImageIO/ffmpeg here. */
+  /** REAL image decode via the JDK's `javax.imageio` readers (JPEG, PNG,
+    * GIF, BMP, TIFF ship with the JDK — no external libraries). Converts to
+    * a luma raster with BT.601 weights. None when no reader claims the
+    * bytes or decoding fails. */
+  def decodeImageIO(content: Array[Byte]): Option[Array[Array[Int]]] = {
+    if (content == null || content.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+      val raster = Array.ofDim[Int](h, w)
+      // single-band (grayscale) images: read raw samples — getRGB would
+      // route them through the gray->sRGB color transform and distort luma
+      val grayBand = img.getColorModel.getNumColorComponents == 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster(y)(x) =
+            if (grayBand) img.getRaster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            }
+          x += 1
+        }
+        y += 1
+      }
+      Some(raster)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB decode fallback for payloads no real decoder claims (audio/video
+    * byte streams, malformed images): bytes -> deterministic grayscale
+    * raster. A real implementation would dispatch to ffmpeg here. */
   def decodeStub(content: Array[Byte], width: Int, height: Int): Array[Array[Int]] = {
     val raster = Array.ofDim[Int](height, width)
     var i = 0
@@ -126,13 +181,17 @@ object Multimodal {
     raster
   }
 
-  /** Decode dispatch: real PNM parse first, stub fallback otherwise.
+  /** Decode dispatch: real PNM parse first (cheapest probe), then the JDK's
+    * `javax.imageio` readers (JPEG/PNG/GIF/BMP/TIFF), stub fallback last.
     * Returns (raster, decoderName). */
   def decode(content: Array[Byte], width: Int, height: Int): (Array[Array[Int]], String) =
     decodePnm(content) match {
       case Some(r) => (r, "pnm")
-      case None => (decodeStub(if (content == null) Array.empty[Byte] else content,
-        math.max(1, width), math.max(1, height)), "stub")
+      case None => decodeImageIO(content) match {
+        case Some(r) => (r, "imageio")
+        case None => (decodeStub(if (content == null) Array.empty[Byte] else content,
+          math.max(1, width), math.max(1, height)), "stub")
+      }
     }
 
   /** Nearest-neighbor resize of a decoded raster (real, not a stub). */

@@ -581,11 +581,16 @@ object Queries {
   private val qAnnLshBuckets: Q = (spark, sfDir) => {
     val emb = tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    val dim = emb.select(size(col("v")).as("d")).head(1).headOption.map(_.getInt(0)).getOrElse(64)
+    // Signs are data-independent constants, precomputed up to MaxDim and
+    // SLICED to each row's length — no eager head() during plan
+    // construction, and rows with non-uniform dims hash correctly instead
+    // of null-padding through zip_with (ADVICE r02).
+    val MaxDim = 512
     val bucket = (0 until 8).map { p =>
-      val signs = (0 until dim).map(i =>
+      val signs = (0 until MaxDim).map(i =>
         if ((TextOps.hash32Kernel(s"$p#$i") & 1L) == 1L) 1.0 else -1.0)
-      val dot = aggregate(zip_with(col("v"), typedLit(signs), (x, s) => x * s),
+      val dot = aggregate(
+        zip_with(col("v"), slice(typedLit(signs), lit(1), size(col("v"))), (x, s) => x * s),
         lit(0.0), (a, x) => a + x)
       when(dot > 0, shiftleft(lit(1), p)).otherwise(0)
     }.reduce(_ + _)
@@ -838,15 +843,44 @@ object Queries {
       |SELECT domain, count(*) AS n_docs, min(doc_id) AS keep_doc_id
       |FROM u GROUP BY domain""".stripMargin
 
-  /** Per-language length quartiles via ntile over a deterministic total
-    * order — the stratified length-bucketing used for curriculum/sampling
-    * decisions; exact (not approximate percentile) so it oracles. */
+  /** Per-language length quartiles — exact ntile semantics, scale-safe
+    * (VERDICT r02 #2): the naive `Window.partitionBy(lang)` ntile sorts an
+    * entire language stratum on ONE task (~20 TB per reducer at 100 TB with
+    * ~5 langs). Two-pass exact ranking instead:
+    *   pass 1 — range-repartition on the total order (lang, n_chars,
+    *     doc_id); count rows per (lang, range-partition) → tiny table whose
+    *     running sum per lang gives each partition's global rank offset;
+    *   pass 2 — row_number within (lang, partition) + offset = exact global
+    *     rank; ntile arithmetic (first n%4 buckets get one extra row) from
+    *     the rank and the per-lang total.
+    * No task ever holds more than one range-partition's slice of a
+    * language, at ANY stratum size. Values identical to ntile(4), so the
+    * same DuckDB oracle stays the gate. */
   private val qLengthQuartiles: Q = (spark, sfDir) => {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
-    doc(spark, sfDir)
-      .select(col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("quartile", ntile(4).over(w))
+    val base = doc(spark, sfDir).select(col("lang"), col("n_chars"), col("doc_id"))
+    val ranged = base
+      .repartitionByRange(32, col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // tiny: (langs x partitions) rows
+    val wOff = Window.partitionBy("lang").orderBy("pid")
+    val offsets = ranged.groupBy("lang", "pid").agg(count(lit(1)).as("pcnt"))
+      .withColumn("off",
+        coalesce(sum("pcnt").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("pcnt").over(Window.partitionBy("lang")))
+      .select("lang", "pid", "off", "n")
+    val wLocal = Window.partitionBy("lang", "pid").orderBy(col("n_chars").asc, col("doc_id").asc)
+    val ranked = ranged
+      .join(broadcast(offsets), Seq("lang", "pid"))
+      .withColumn("r", row_number().over(wLocal).cast("long") + col("off"))
+    // ntile(4): base = n div 4, first (n % 4) buckets take base+1 rows
+    val nb = expr("n div 4")
+    val rem = col("n") % 4
+    val thr = (nb + 1) * rem
+    val quartile = when(col("r") <= thr, ceil(col("r") / (nb + 1)))
+      .otherwise(rem + ceil((col("r") - thr) / greatest(nb, lit(1L))))
+    ranked
+      .withColumn("quartile", quartile.cast("int"))
       .groupBy("lang", "quartile")
       .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
   }

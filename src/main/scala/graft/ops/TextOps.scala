@@ -136,6 +136,17 @@ object TextOps {
     out
   }
 
+  /** JVM twin of [[fingerprint]]: full 128-bit md5 hex of the whitespace-
+    * normalized, lowercased text. Use THIS (not [[hash32Kernel]]) as a dedup
+    * key: a 32-bit key collides past ~2^16 distinct documents (birthday
+    * bound) and silently drops distinct content (ADVICE r02). */
+  def fingerprintKernel(text: String): String = {
+    val norm = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
   /** JVM twin of [[hash32]]: first 8 hex chars of md5 as a long — identical
     * to Spark's md5 (both hash UTF-8 bytes). */
   def hash32Kernel(s: String): Long = {

@@ -143,7 +143,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.nonEmpty)
     assert(feats.forall(_.n_bytes > 0))
     assert(feats.forall(f => f.sha1.length == 40))
-    assert(feats.forall(_.decoder == "pnm"), "synthetic PGM payloads must take the REAL decode path")
+    val decoders = feats.map(_.decoder).toSet
+    assert(decoders.subsetOf(Set("pnm", "imageio")),
+      s"every synthetic payload (PGM/PNG/JPEG mix) must take a REAL decode path, got $decoders")
     assert(feats.map(_.media_ref).distinct.length == feats.length)
     // determinism
     val again = graft.ops.Multimodal.mediaFeaturesForCorpus(spark, spansTable).collect()
@@ -169,6 +171,35 @@ class MultimodalSpec extends AnyFunSuite {
     val small = Multimodal.resizeNearest(raster, 8, 8)
     assert(small.length == 8 && small(0).length == 8)
     assert(Multimodal.frameSample(1000, 100, 2) == Seq(0, 200, 400, 600, 800))
+  }
+
+  test("javax.imageio decode: real PNG and JPEG bytes, lossless PNG round-trip") {
+    import graft.ops.Multimodal
+    val w = 12; val h = 9
+    val gray = Array.tabulate(w * h)(i => ((i * 37) % 256).toByte)
+    def encode(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, gray)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val png = encode("png"); val jpg = encode("jpg")
+    assert(png.take(4).sameElements(Array[Byte](0x89.toByte, 'P', 'N', 'G')), "genuine PNG magic")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8, "genuine JPEG magic")
+    // dispatch picks the real decoder for both
+    val (pngRaster, pngDec) = Multimodal.decode(png, w, h)
+    val (jpgRaster, jpgDec) = Multimodal.decode(jpg, w, h)
+    assert(pngDec == "imageio" && jpgDec == "imageio")
+    assert(pngRaster.length == h && pngRaster(0).length == w)
+    assert(jpgRaster.length == h && jpgRaster(0).length == w)
+    // PNG is lossless: decoded luma must equal the source grayscale exactly
+    for (y <- 0 until h; x <- 0 until w)
+      assert(pngRaster(y)(x) == (gray(y * w + x) & 0xff), s"PNG luma mismatch at ($x,$y)")
+    // JPEG is lossy but close: mean abs error under 8 luma levels
+    val err = (for (y <- 0 until h; x <- 0 until w)
+      yield math.abs(jpgRaster(y)(x) - (gray(y * w + x) & 0xff))).sum.toDouble / (w * h)
+    assert(err < 8.0, s"JPEG decode mean abs error $err too high")
   }
 }
 
@@ -227,6 +258,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 3, s"expected 3 unique contents, got ${rows.toSeq}")
     assert(rows.exists(_._2 == "a"), "within-batch representative should be min doc_id 'a'")
     assert(!rows.exists(_._2 == "d"), "cross-batch duplicate leaked through state")
+    // state key must be the full 128-bit md5 hex, not a 32-bit truncation
+    assert(rows.forall(_._1.matches("[0-9a-f]{32}")),
+      s"dedup key must be 128-bit md5 hex (collision-safe at scale), got ${rows.map(_._1).toSeq}")
+  }
+
+  test("streaming dedup TTL: expired fingerprint re-admits its next occurrence") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup_ttl")
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = StructType(Seq(StructField("doc_id", StringType), StructField("text", StringType)))
+    val ttl = java.time.Duration.ofMillis(200)
+    def runBatch(): Unit = {
+      val q = graft.streaming.StreamingExtract.dedupStream(
+        spark.readStream.schema(schema).parquet(in), stateTtl = Some(ttl))
+        .toDF("fp", "keep_doc_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    Seq(("a", "hello world")).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    runBatch()
+    Thread.sleep(600) // let the TTL lapse
+    // batch 2 carries unrelated data; its trigger fires the timeout that removes 'hello world' state
+    Seq(("b", "other text")).toDF("doc_id", "text").write.mode("append").parquet(in)
+    runBatch()
+    // batch 3: the same content arrives after expiry -> re-admitted
+    Seq(("c", "hello world")).toDF("doc_id", "text").write.mode("append").parquet(in)
+    runBatch()
+    val rows = spark.read.parquet(out).as[(String, String)].collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == Seq("a", "b", "c"),
+      s"expected a (first), b (other), c (re-admitted after TTL); got ${rows.toSeq}")
+    val helloFp = graft.ops.TextOps.fingerprintKernel("hello world")
+    assert(rows.count(_._1 == helloFp) == 2, "the expired fingerprint must appear twice")
   }
 
   test("windowed throughput aggregation shape") {
