@@ -29,6 +29,11 @@ object ScalingBench {
       // both levels — on a real 100 TB table the file count provides this)
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4m"))
       .config("spark.sql.files.openCostInBytes", "1m")
+      // span-array rows are ~300 elements each: the default 4096-row batch
+      // makes the nested reader's child vectors grow through repeated
+      // reserve()/realloc (hot frame); smaller batches keep them resident
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_BATCH", "512"))
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")

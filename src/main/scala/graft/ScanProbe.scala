@@ -39,6 +39,38 @@ object ScanProbe {
         .mapPartitions(it => Iterator.single(it.map(d => if (d.kinds == null) 0 else d.kinds.length).sum))
         .collect()
     }
+    time("kernel-only") {
+      // input deser + kernel, NO output encoding: emits one Int per partition
+      docs.select(col("doc_id").cast("string").as("doc_id"),
+        col("spans.kind").as("kinds"), col("spans.text").as("texts"),
+        col("spans.media_ref").as("refs"), col("spans.offset").as("offsets"))
+        .as[graft.pipeline.Extract.RawDocArr]
+        .mapPartitions { it =>
+          val cfg = graft.model.ExtractConfig.default
+          Iterator.single(it.map(d => graft.pipeline.Extract.runKernelArrProbe(d, cfg)).sum)
+        }
+        .collect()
+    }
+    time("kernel+arr-encode") {
+      // input deser + kernel + output ARRAY encoding, no struct reassembly
+      docs.select(col("doc_id").cast("string").as("doc_id"),
+        col("spans.kind").as("kinds"), col("spans.text").as("texts"),
+        col("spans.media_ref").as("refs"), col("spans.offset").as("offsets"))
+        .as[graft.pipeline.Extract.RawDocArr]
+        .mapPartitions { it =>
+          val cfg = graft.model.ExtractConfig.default
+          it.map(graft.pipeline.Extract.runKernelArrShared(_, cfg))
+        }
+        .selectExpr("count(*)", "sum(size(kinds))").collect()
+    }
+    time("contract declarative") {
+      graft.pipeline.Extract.extractSpansDFDeclarative(docs)
+        .selectExpr("count(*)", "sum(coalesce(size(spans),0))").collect()
+    }
+    time("contract fast rows") {
+      graft.pipeline.Extract.extractSpansRows(docs)
+        .selectExpr("count(*)", "sum(coalesce(size(spans),0))").collect()
+    }
     time("full contract") {
       graft.pipeline.Extract.extractContract(docs)
         .selectExpr("count(*)", "sum(coalesce(size(spans),0))").collect()

@@ -93,6 +93,30 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static-forwarder host for codegen (see [[NfcHelper]]). */
+object SubwordHelper {
+  def count(s: UTF8String): Long = graft.ops.Tokenize.countText(s.toString)
+}
+
+/** Native Catalyst expression: real subword token count (greedy
+  * longest-match over the committed vocabulary, graft.ops.Tokenize) as a
+  * codegen'd expression — replaces the ceil(len/4) estimator the round-2
+  * review flagged. Stays inside WholeStageCodegen via a static call. */
+case class SubwordCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_subword_count expects STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    SubwordHelper.count(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SubwordHelper.count($c)")
+  override protected def withNewChildInternal(newChild: Expression): SubwordCountExpr =
+    copy(child = newChild)
+}
+
 /** Typed bbox-union aggregator: [min x0, min top, max x1, max bottom] over a
   * group of bboxes — the reference's calculate_bbox (pdf_processor.py:259-269)
   * as a real distributed aggregation with map-side partial combine. */
@@ -130,6 +154,11 @@ object Functions {
     org.apache.spark.sql.graft.Bridge.column(
       NfcNormalizeExpr(org.apache.spark.sql.graft.Bridge.expression(c)))
 
+  /** Native real subword token count (see [[SubwordCountExpr]]). */
+  def subword_count(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SubwordCountExpr(org.apache.spark.sql.graft.Bridge.expression(c)))
+
   /** Register the engine's functions for SQL use:
     * graft_token_count, graft_hash32, graft_simhash32. */
   def registerAll(spark: SparkSession): Unit = {
@@ -137,6 +166,8 @@ object Functions {
       "graft_token_count", exprs => TokenCountExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalizeExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_subword_count", exprs => SubwordCountExpr(exprs.head), "built-in")
     spark.udf.register("graft_hash32",
       (s: String) => graft.ops.TextOps.hash32Kernel(if (s == null) "" else s))
     spark.udf.register("graft_simhash32",

@@ -41,32 +41,48 @@ object Cluster {
       }
     }
 
-    // dp(c)(j) = min cost of splitting first j points into c clusters
-    val INF = Double.MaxValue / 4
-    val dp = Array.fill(kk + 1, n + 1)(INF)
-    val cut = Array.fill(kk + 1, n + 1)(0)
-    dp(0)(0) = 0.0
-    var c = 1
-    while (c <= kk) {
-      var j = c
-      while (j <= n) {
-        var a = c - 1
-        while (a <= j - 1) {
-          val cost = dp(c - 1)(a) + sse(a, j)
-          if (cost < dp(c)(j) - 1e-12) { dp(c)(j) = cost; cut(c)(j) = a }
-          a += 1
-        }
-        j += 1
-      }
-      c += 1
-    }
-
     // recover boundaries
     val bounds = new Array[Int](kk + 1)
     bounds(kk) = n
-    var cc = kk
-    var j = n
-    while (cc >= 1) { val a = cut(cc)(j); bounds(cc - 1) = a; j = a; cc -= 1 }
+    if (kk == 2) {
+      // k=2 fast path: the DP reduces to one split scan. Uses the IDENTICAL
+      // sse() prefix-sum arithmetic and the identical strict-improvement
+      // tie rule (first minimal split wins), so the chosen partition is
+      // bit-for-bit the DP's — this is the per-page hot call (detector 2
+      // runs it on every page with >10 blocks), O(n) instead of O(n^2 k).
+      var bestA = 1
+      var bestCost = Double.MaxValue / 4
+      var a = 1
+      while (a <= n - 1) {
+        val cost = sse(0, a) + sse(a, n)
+        if (cost < bestCost - 1e-12) { bestCost = cost; bestA = a }
+        a += 1
+      }
+      bounds(1) = bestA
+    } else if (kk > 1) {
+      // dp(c)(j) = min cost of splitting first j points into c clusters
+      val INF = Double.MaxValue / 4
+      val dp = Array.fill(kk + 1, n + 1)(INF)
+      val cut = Array.fill(kk + 1, n + 1)(0)
+      dp(0)(0) = 0.0
+      var c = 1
+      while (c <= kk) {
+        var j = c
+        while (j <= n) {
+          var a = c - 1
+          while (a <= j - 1) {
+            val cost = dp(c - 1)(a) + sse(a, j)
+            if (cost < dp(c)(j) - 1e-12) { dp(c)(j) = cost; cut(c)(j) = a }
+            a += 1
+          }
+          j += 1
+        }
+        c += 1
+      }
+      var cc = kk
+      var j = n
+      while (cc >= 1) { val a = cut(cc)(j); bounds(cc - 1) = a; j = a; cc -= 1 }
+    }
 
     val labelsSorted = new Array[Int](n)
     val means = new Array[Double](kk)

@@ -261,12 +261,19 @@ object Parse {
     * grouping (pdf_processor.py:234-257) never merges across spans — see
     * ParseEquivalenceSpec for the cross-validation against the generic path. */
   def extractTextObjectsFast(textSpans: Seq[Span], pageWidth: Double): Vector[TextBlock] = {
+    // text(a,b).trim.nonEmpty without the String+trim allocs: String.trim
+    // strips chars <= ' ', so non-empty-after-trim == any char > ' '
+    def hasVisible(run: CharRun, a: Int, b: Int): Boolean = {
+      var i = a
+      while (i < b) { if (run.chars(i) > ' ') return true; i += 1 }
+      false
+    }
     val out = Vector.newBuilder[TextBlock]
     textSpans.foreach { span =>
       val run = deriveCharRun(span)
       if (run.length > 0) {
         splitRangesByColumns(run, pageWidth).foreach { case (a, b) =>
-          if (run.text(a, b).trim.nonEmpty) {
+          if (hasVisible(run, a, b)) {
             val blockWidth = run.x1(b - 1) - run.x0(a)
             if (blockWidth > pageWidth * 0.60 && (b - a) > 10) {
               // over-wide block: exact 2-means on x0 (sorted -> best split)

@@ -38,11 +38,40 @@ object TextClean {
     * the giant-doc path. */
   def cleanLinePreserving(text: String): String = cleanCore(text)._1
 
+  /** True iff cleanCore(text) would return the input unchanged (no
+    * terminators, no exotic whitespace, no runs of spaces, no leading or
+    * trailing space). Allocation-free pre-scan: most kernel-derived block
+    * texts are already clean, and skipping the StringBuilder copy for them
+    * removes an O(bytes) duplicate of nearly every block. */
+  private def isAlreadyClean(text: String): Boolean = {
+    val n = text.length
+    if (n == 0) return true
+    if (text.charAt(0) == ' ' || text.charAt(n - 1) == ' ') return false
+    var prevSpace = false
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == ' ') {
+        if (prevSpace) return false
+        prevSpace = true
+      } else if (c > ' ' && c < '\u0085') {
+        prevSpace = false
+      } else if (isLineTerminator(c) || isPySpace(c)) {
+        return false
+      } else {
+        prevSpace = false
+      }
+      i += 1
+    }
+    true
+  }
+
   /** [[cleanLinePreserving]] plus "did the input contain any line
     * terminator" — detected for free inside the single pass (callers need it
     * to decide whether per-block cleaning composes, see [[cleanText]]). */
   private[kernel] def cleanCore(text: String): (String, Boolean) = {
     if (text == null) return (null, false)
+    if (isAlreadyClean(text)) return (text, false)
     val n = text.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0
@@ -92,16 +121,21 @@ object TextClean {
     val hasMultiColumn = result.pages.exists(_.column_processed)
     if (hasMultiColumn) {
       result.copy(pages = result.pages.map(p =>
-        p.copy(text_blocks = p.text_blocks.map(b =>
-          if (b.text != null && b.text.nonEmpty) b.copy(text = cleanLinePreserving(b.text)) else b))))
+        p.copy(text_blocks = p.text_blocks.map { b =>
+          if (b.text != null && b.text.nonEmpty) {
+            val c = cleanLinePreserving(b.text)
+            if (c eq b.text) b else b.copy(text = c)
+          } else b
+        })))
     } else {
       var anyTerminator = false // detected inside the cleaning pass, no extra scan
+      var anyChanged = false // all blocks already clean -> merged text is too
       val cleanedPages = result.pages.map(p =>
         p.copy(text_blocks = p.text_blocks.map(b =>
           if (b.text != null && b.text.nonEmpty) {
             val (cleaned, saw) = cleanCore(b.text)
             if (saw) anyTerminator = true
-            b.copy(text = cleaned)
+            if (cleaned eq b.text) b else { anyChanged = true; b.copy(text = cleaned) }
           } else b)))
       // cleaned(join(blocks, "\n\n")) == join(cleaned blocks, "\n\n"):
       // cleaning is per-line and the join boundaries are newlines, so the
@@ -119,6 +153,11 @@ object TextClean {
       // cleaning): a block that cleans to "" still contributes its element
       val newText =
         if (anyTerminator) cleanLinePreserving(result.text)
+        // every block came back `eq` (already clean): the rebuilt join would
+        // reproduce result.text byte-for-byte (cleanText's contract input is
+        // mergeResults output, whose text IS the "\n\n" join of the blocks) —
+        // skip the O(docBytes) mkString, the giant-doc hot allocation
+        else if (!anyChanged) result.text
         else result.pages.zip(cleanedPages).flatMap { case (raw, cleaned) =>
           raw.text_blocks.zip(cleaned.text_blocks).collect {
             case (r, c) if r.text != null && r.text.nonEmpty => if (c.text == null) "" else c.text

@@ -63,11 +63,19 @@ object Queries {
   private val qAdaptiveEngines: Q = (spark, sfDir) => {
     import spark.implicits._
     val docs = graft.SparkEntry.rawDocs(spark, sfDir)
-    val fitz = graft.pipeline.Extract.extract(docs, graft.model.ExtractConfig.default.copy(engine = "fitz"))
-      .map(r => (r.doc_id, "fitz", r.text.length)).toDF("doc_id", "engine", "text_len")
-    val plumber = graft.pipeline.Extract.extract(docs, graft.model.ExtractConfig.default.copy(engine = "plumber"))
-      .map(r => (r.doc_id, "plumber", r.text.length)).toDF("doc_id", "engine", "text_len")
-    fitz.unionByName(plumber)
+    // ONE scan, both engine kernels per row (VERDICT r02: the former two-leg
+    // union scanned + deserialized the corpus twice — the q03 regression was
+    // pure duplicated input work; both adaptive engines are page-0-only and
+    // cheap relative to the scan).
+    docs.mapPartitions { it =>
+      val fitzCfg = graft.model.ExtractConfig.default.copy(engine = "fitz")
+      val plumberCfg = graft.model.ExtractConfig.default.copy(engine = "plumber")
+      it.flatMap { d =>
+        val f = graft.kernel.Extractor.extractDoc(d, fitzCfg)
+        val p = graft.kernel.Extractor.extractDoc(d, plumberCfg)
+        Iterator((f.doc_id, "fitz", f.text.length), (p.doc_id, "plumber", p.text.length))
+      }
+    }.toDF("doc_id", "engine", "text_len")
   }
   private val oAdaptiveEngines =
     s"""WITH j AS (SELECT e.doc_id, e.fitz_len, e.plumber_len
@@ -908,6 +916,36 @@ object Queries {
       |SELECT tok, count(*) AS cnt FROM t GROUP BY tok
       |ORDER BY cnt DESC, tok ASC LIMIT 25""".stripMargin
 
+  /** Real subword tokenization (round-3): greedy longest-match over the
+    * committed vocabulary (graft.ops.Tokenize — the public WordPiece/BPE
+    * greedy-inference algorithm), exposed as the native codegen'd
+    * SubwordCountExpr. The oracle replays the IDENTICAL greedy recursion in
+    * DuckDB: a recursive CTE advances a cursor through each word, at each
+    * position consuming the longest matching vocab entry (else one code
+    * point) and counting one token per step. */
+  private val qSubwordTokenize: Q = (spark, sfDir) =>
+    doc(spark, sfDir).select(
+      col("doc_id"),
+      graft.functions.Functions.subword_count(col("text")).as("n_subword_tokens"))
+  private val oSubwordTokenize = {
+    val vocabValues = Tokenize.Vocab.map(v => s"('$v')").mkString(",")
+    s"""WITH RECURSIVE vocab(tok) AS (VALUES $vocabValues),
+       |w AS (SELECT doc_id,
+       |  generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS wi,
+       |  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents),
+       |step(doc_id, wi, word, pos, cnt) AS (
+       |  SELECT doc_id, wi, word, 1, 0 FROM w
+       |  UNION ALL
+       |  SELECT doc_id, wi, word,
+       |    pos + coalesce((SELECT max(length(v.tok)) FROM vocab v
+       |                    WHERE substr(word, pos, length(v.tok)) = v.tok), 1),
+       |    cnt + 1
+       |  FROM step WHERE pos <= length(word))
+       |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_subword_tokens
+       |FROM step WHERE pos > length(word) GROUP BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -955,7 +993,8 @@ object Queries {
     "q42_hash_sample" -> qHashSample,
     "q43_url_domain" -> qUrlDomain,
     "q44_length_quartiles" -> qLengthQuartiles,
-    "q45_token_topk" -> qTokenTopK
+    "q45_token_topk" -> qTokenTopK,
+    "q46_subword_tokenize" -> qSubwordTokenize
   )
 
   val oracles: Map[String, String] = Map(
@@ -1003,6 +1042,7 @@ object Queries {
     "q42_hash_sample" -> oHashSample,
     "q43_url_domain" -> oUrlDomain,
     "q44_length_quartiles" -> oLengthQuartiles,
-    "q45_token_topk" -> oTokenTopK
+    "q45_token_topk" -> oTokenTopK,
+    "q46_subword_tokenize" -> oSubwordTokenize
   )
 }

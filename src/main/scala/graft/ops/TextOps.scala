@@ -23,9 +23,10 @@ object TextOps {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword token estimate: word-pieces of <=4 chars plus
-    * punctuation splits — a cheap, deterministic stand-in for a real
-    * tokenizer's count (ceil(chars-per-word / 4) summed). */
+  /** CHEAP subword token ESTIMATE (ceil(chars-per-word / 4) summed) — the
+    * zero-vocabulary estimator for sizing scans. The REAL subword tokenizer
+    * is [[Tokenize]] (greedy longest-match over a committed vocabulary),
+    * exposed as the native `Functions.subword_count` / q46. */
   def subwordCount(text: Column): Column =
     aggregate(
       split(trim(text), "\\s+"),

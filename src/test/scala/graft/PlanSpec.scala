@@ -78,10 +78,20 @@ class PlanSpec extends AnyFunSuite {
     spark.createDataset(graft.fixtures.Fixtures.corpus(30).toSeq).toDF()
       .write.mode("overwrite").parquet(dir)
     val input = spark.read.parquet(dir)
+    // small leg = the InternalRow fast path, whose parquet scan lives inside
+    // an ExistingRDD leaf (one scan); big leg = one visible parquet scan.
+    // Still exactly two scans of the input overall — assert both halves.
     val plan = graft.pipeline.Extract.extractContract(input, skewSpanThreshold = 64)
       .queryExecution.executedPlan.toString
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 2, s"expected 2 parquet scans, got $scans:\n${plan.take(3000)}")
+    val visibleScans = "Scan parquet".r.findAllIn(plan).length
+    val rddLeaves = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(visibleScans == 1, s"expected 1 visible parquet scan (big leg), got $visibleScans:\n${plan.take(3000)}")
+    assert(rddLeaves == 1, s"expected 1 fast-path RDD leaf (small leg), got $rddLeaves:\n${plan.take(3000)}")
+    // and the fast path itself plans exactly one pruned parquet scan
+    val fastPlan = graft.pipeline.Extract.extractSpansRows(input.filter(size(col("spans")) <= 64))
+      .rdd.toDebugString
+    assert(fastPlan.contains("FileScanRDD") || fastPlan.contains("MapPartitionsRDD"),
+      s"fast-path lineage missing a scan:\n$fastPlan")
   }
 
   test("SQL registry: graft_* functions callable from SQL") {
@@ -103,6 +113,21 @@ class PlanSpec extends AnyFunSuite {
     val r = spark.sql("SELECT graft_nfc('Cafe\u0301 x') AS a, graft_nfc('plain') AS b").collect()(0)
     assert(r.getString(0) == "Caf\u00e9 x")
     assert(r.getString(1) == "plain")
+  }
+
+  test("native SubwordCountExpr: codegen'd, greedy longest-match values") {
+    graft.functions.Functions.registerAll(spark)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.Functions.subword_count(col("text")).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [subwordcountexpr"), s"subword count fell out of codegen:\n${plan.take(800)}")
+    // 'the' is one vocab token; 'thex' = 'the' + 'x' = 2; 'zzq' has no vocab
+    // digrams -> 3 single chars; empty -> 0
+    val r = spark.sql("SELECT graft_subword_count('The thex zzq') AS a, graft_subword_count('  ') AS b").collect()(0)
+    assert(r.getLong(0) == 1 + 2 + 3, s"got ${r.getLong(0)}")
+    assert(r.getLong(1) == 0L)
+    // kernel twin agrees
+    assert(graft.ops.Tokenize.countText("The thex zzq") == 6L)
   }
 
   test("co-bucketed doc-keyed join plans without a shuffle (TableIO.writeBucketed)") {
