@@ -4,6 +4,7 @@ package graft
   * artifact (explain-formatted output for the judge/reviewer). */
 object PlanDump extends App {
   import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions.col
   val spark = SparkSession.builder().master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.adaptive.enabled", "true")
@@ -21,8 +22,14 @@ object PlanDump extends App {
   SparkEntry.rawDocs(spark, sf).toDF().write.mode("overwrite").parquet(corpusPath)
   val sections = Seq(
     ("Flagship extraction (`Extract.extractContract`) over a materialized span table",
-     "Narrow end-to-end: columnar projection of the four span fields straight off the parquet scan -> one mapPartitions kernel -> codegen'd struct reassembly. No Exchange on this leg; the second Union leg is the page-split path for >512-page docs (empty here) whose repartition is the deliberate skew shuffle.",
+     "Narrow end-to-end. The first Union leg (`Scan ExistingRDD`) is the single-copy InternalRow fast path: one pruned parquet scan inside the RDD lineage -> kernel over Catalyst rows -> one codegen'd UnsafeProjection writing the contract ARRAY<STRUCT> (no encoder round trip, no Exchange). The second leg is the page-split path for >512-page docs (empty here) whose repartition is the deliberate skew shuffle.",
      graft.pipeline.Extract.extractContract(spark.read.parquet(corpusPath))),
+    ("Fast-path inner plan (`Extract.extractSpansRows` input query)",
+     "The scan the ExistingRDD leaf wraps: doc_id + spans only (pruned ReadSchema), whole-stage codegen to the kernel boundary, zero shuffle.",
+     spark.read.parquet(corpusPath).select(col("doc_id").cast("string").as("doc_id"), col("spans"))),
+    ("q44 per-language quartiles (scale-safe two-pass ranking)",
+     "VERDICT r02 fix: no Window over a whole language stratum. Range-repartition on the total order, tiny per-(lang,partition) count table with running offsets (broadcast back), per-partition row_number + offset = exact global rank, ntile arithmetic from the rank. The widest sort any task performs is ONE range partition's slice.",
+     ops.Queries.all("q44_length_quartiles")(spark, sf)),
     ("q16 aggregation", "Pruned ReadSchema (4 columns of lineitem), partial+final HashAggregate.",
      ops.Queries.all("q16_agg_pushdown")(spark, sf)),
     ("q17 star join", "Both dimension sides broadcast; no sort-merge join, no large-side shuffle.",

@@ -946,6 +946,72 @@ object Queries {
        |FROM step WHERE pos > length(word) GROUP BY doc_id""".stripMargin
   }
 
+  /** PII detection + redaction (round-3): the scrubbing pass every public
+    * training corpus runs before tokenization. Deterministic synthetic PII is
+    * woven into a third of the docs (corpus text carries none) so every
+    * branch fires; patterns are RE2-safe (no backrefs/lookarounds) so Spark
+    * (java.util.regex) and DuckDB (RE2) agree. Map-side only — no shuffle. */
+  private val qPiiScrub: Q = (spark, sfDir) => {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val enriched = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+      .when(col("doc_id") % 3 === 1,
+        concat(col("text"), lit(" from host 10.0."), col("doc_id") % 256, lit(".7")))
+      .otherwise(col("text"))
+    doc(spark, sfDir)
+      .select(col("doc_id"), enriched.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).as("n_ips"),
+        length(regexp_replace(regexp_replace(col("t"), emailRe, "[EMAIL]"), ipRe, "[IP]"))
+          .as("redacted_len"))
+  }
+  private val oPiiScrub =
+    """WITH e AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+      |       WHEN doc_id % 3 = 1 THEN text || ' from host 10.0.' || (doc_id % 256) || '.7'
+      |       ELSE text END AS t FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+      |  CAST(length(regexp_replace(regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS INTEGER) AS redacted_len
+      |FROM e""".stripMargin
+
+  /** Fixed-size training-window chunking (round-3): overlapping token
+    * windows (size 64, stride 48) per document — the canonical context-
+    * window materialization before tokenized training shards. Pure Catalyst
+    * HOFs (one split per doc, slices per window); explodes to one row per
+    * chunk, map-side, shuffle-free. */
+  private val qChunkWindows: Q = (spark, sfDir) => {
+    val size64 = 64; val stride = 48
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val n = size(words)
+    // chunk starts: 0, 48, 96, ... while start < n (at least one chunk)
+    val nChunks = greatest(ceil((n - size64).cast("double") / stride).cast("int") + 1, lit(1))
+    doc(spark, sfDir)
+      .select(col("doc_id"), words.as("w"), n.as("n"), nChunks.as("k"))
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(sequence(lit(0), col("k") - 1),
+          i => slice(col("w"), i * stride + 1, lit(size64)))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("int").as("chunk_id"),
+        size(col("col")).as("n_tokens"),
+        element_at(col("col"), 1).as("first_token"))
+  }
+  private val oChunkWindows =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents),
+      |m AS (SELECT doc_id, words, len(words) AS n,
+      |  greatest(CAST(ceil((len(words) - 64) / 48.0) AS INTEGER) + 1, 1) AS k FROM w),
+      |c AS (SELECT doc_id, n, unnest(range(0, k)) AS chunk_id, words FROM m)
+      |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+      |  CAST(len(words[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INTEGER) AS n_tokens,
+      |  words[chunk_id * 48 + 1] AS first_token
+      |FROM c""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -994,7 +1060,9 @@ object Queries {
     "q43_url_domain" -> qUrlDomain,
     "q44_length_quartiles" -> qLengthQuartiles,
     "q45_token_topk" -> qTokenTopK,
-    "q46_subword_tokenize" -> qSubwordTokenize
+    "q46_subword_tokenize" -> qSubwordTokenize,
+    "q47_pii_scrub" -> qPiiScrub,
+    "q48_chunk_windows" -> qChunkWindows
   )
 
   val oracles: Map[String, String] = Map(
@@ -1043,6 +1111,8 @@ object Queries {
     "q43_url_domain" -> oUrlDomain,
     "q44_length_quartiles" -> oLengthQuartiles,
     "q45_token_topk" -> oTokenTopK,
-    "q46_subword_tokenize" -> oSubwordTokenize
+    "q46_subword_tokenize" -> oSubwordTokenize,
+    "q47_pii_scrub" -> oPiiScrub,
+    "q48_chunk_windows" -> oChunkWindows
   )
 }
