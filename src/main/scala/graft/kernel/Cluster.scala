@@ -166,17 +166,60 @@ object Cluster {
   /** np.histogram(xs, bins, range=(lo, hi)) semantics: uniform bins over
     * [lo, hi], right-closed last bin, values outside range dropped.
     * (reference: layout_processor.py:256, adaptive_pdfitz.py:180) */
-  def histogram(xs: Seq[Double], bins: Int, lo: Double, hi: Double): (Array[Int], Array[Double]) = {
+  def histogram(xs: Seq[Double], bins: Int, lo: Double, hi: Double): (Array[Int], Array[Double]) =
+    histogramArr(xs.toArray, bins, lo, hi)
+
+  /** Primitive-array twin of [[histogram]] (identical arithmetic; the Seq
+    * form boxes every value — measured hot in the per-page detector). */
+  def histogramArr(xs: Array[Double], bins: Int, lo: Double, hi: Double): (Array[Int], Array[Double]) = {
     val counts = new Array[Int](bins)
     val edges = Array.tabulate(bins + 1)(i => lo + (hi - lo) * i / bins)
     val w = (hi - lo) / bins
-    xs.foreach { x =>
+    var i = 0
+    while (i < xs.length) {
+      val x = xs(i)
       if (x >= lo && x <= hi && w > 0) {
         val b = if (x == hi) bins - 1 else math.floor((x - lo) / w).toInt
         if (b >= 0 && b < bins) counts(b) += 1
       }
+      i += 1
     }
     (counts, edges)
+  }
+
+  /** Means of the exact optimal 2-means over an UNSORTED primitive array —
+    * the means-only hot-path twin of `kmeans1D(xs, 2)._2` (detector 2 calls
+    * it per page and reads only the means). Sorts a copy (primitive sort —
+    * equal doubles are indistinguishable, so stability cannot change the
+    * result) and runs the IDENTICAL prefix-sum sse scan with the identical
+    * strict-improvement tie rule as [[kmeans1D]]'s k=2 path, so the split
+    * and the returned means are bit-for-bit the same. */
+  def kmeans1D2Means(xs: Array[Double]): (Double, Double) = {
+    val n = xs.length
+    require(n >= 2, "need >= 2 points")
+    val sorted = java.util.Arrays.copyOf(xs, n)
+    java.util.Arrays.sort(sorted)
+    val ps = new Array[Double](n + 1)
+    val ps2 = new Array[Double](n + 1)
+    var i = 0
+    while (i < n) { ps(i + 1) = ps(i) + sorted(i); ps2(i + 1) = ps2(i) + sorted(i) * sorted(i); i += 1 }
+    def sse(a: Int, b: Int): Double = {
+      val m = b - a
+      if (m <= 1) 0.0
+      else {
+        val s = ps(b) - ps(a)
+        math.max(0.0, (ps2(b) - ps2(a)) - s * s / m)
+      }
+    }
+    var bestA = 1
+    var bestCost = Double.MaxValue / 4
+    var a = 1
+    while (a <= n - 1) {
+      val cost = sse(0, a) + sse(a, n)
+      if (cost < bestCost - 1e-12) { bestCost = cost; bestA = a }
+      a += 1
+    }
+    ((ps(bestA)) / bestA, (ps(n) - ps(bestA)) / (n - bestA))
   }
 
   /** np.histogram with data-driven range (lo=min, hi=max), used by the fitz

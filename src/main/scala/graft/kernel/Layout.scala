@@ -137,32 +137,77 @@ object Layout {
     * (reference: layout_processor.py:224-277). */
   def analyzeColumnLayout(page: PageResult): Int = {
     if (page.text_blocks.isEmpty) return 1
-    val xPositions = page.text_blocks.filter(b => b.bbox != null && b.bbox.length >= 2).map(_.bbox(0))
-    if (xPositions.isEmpty) return 1
-    if (page.width == 0) return 1
-    detectColumnsByClustering(xPositions, page.width)
+    if (page.width == 0) return 1 // (no-bbox pages also return 1 below — order-free)
+    val blocks = page.text_blocks
+    var n = 0
+    blocks.foreach { b => if (b.bbox != null && b.bbox.length >= 2) n += 1 }
+    if (n == 0) return 1
+    val xs = new Array[Double](n)
+    var i = 0
+    blocks.foreach { b => if (b.bbox != null && b.bbox.length >= 2) { xs(i) = b.bbox(0); i += 1 } }
+    detectColumnsByClusteringArr(xs, page.width)
   }
 
-  def detectColumnsByClustering(xPositions: Seq[Double], pageWidth: Double): Int = {
-    if (xPositions.isEmpty) return 1
-    val uniqueX = xPositions.distinct.sorted
-    if (uniqueX.length < 2) return 1
-    val bins = math.min(20, uniqueX.length / 2 + 1)
-    val (hist, binEdges) = Cluster.histogram(uniqueX, bins, 0, pageWidth)
-    val avg = hist.sum.toDouble / hist.length
-    val gapBins = hist.indices.filter(i => hist(i) < avg * 0.4)
-    if (gapBins.nonEmpty) {
-      gapBins.foreach { i =>
+  def detectColumnsByClustering(xPositions: Seq[Double], pageWidth: Double): Int =
+    detectColumnsByClusteringArr(xPositions.toArray, pageWidth)
+
+  /** Primitive-array form of detector 1 — identical arithmetic and branch
+    * order, no boxed collection ops (this runs on every page; the boxed
+    * folds were top self-frames in stack samples). */
+  def detectColumnsByClusteringArr(xPositions: Array[Double], pageWidth: Double): Int = {
+    if (xPositions.length == 0) return 1
+    // distinct (first-occurrence, value-equal) then sorted == sorted + adjacent dedup
+    val sortedAll = java.util.Arrays.copyOf(xPositions, xPositions.length)
+    java.util.Arrays.sort(sortedAll)
+    var m = 0
+    var i = 0
+    while (i < sortedAll.length) {
+      if (m == 0 || sortedAll(i) != sortedAll(m - 1)) { sortedAll(m) = sortedAll(i); m += 1 }
+      i += 1
+    }
+    if (m < 2) return 1
+    val uniqueX = java.util.Arrays.copyOf(sortedAll, m)
+    val bins = math.min(20, m / 2 + 1)
+    val (hist, binEdges) = Cluster.histogramArr(uniqueX, bins, 0, pageWidth)
+    var histSum = 0
+    i = 0
+    while (i < hist.length) { histSum += hist(i); i += 1 }
+    val avg = histSum.toDouble / hist.length
+    i = 0
+    while (i < hist.length) {
+      if (hist(i) < avg * 0.4) {
         val left = binEdges(i); val right = binEdges(i + 1)
         if (left > pageWidth * 0.25 && right < pageWidth * 0.75) return 2
       }
+      i += 1
     }
-    val gaps = (1 until uniqueX.length).map(i => uniqueX(i) - uniqueX(i - 1)).filter(_ > 20)
-    if (gaps.isEmpty) return 1
-    val avgGap = gaps.sum / gaps.length
-    val largeGaps = gaps.filter(g => g > avgGap * 1.1 || g > pageWidth * 0.2)
-    if (largeGaps.nonEmpty) math.max(1, math.min(estimateColumnCount(pageWidth, largeGaps), 4))
-    else 1
+    // gaps > 20 between consecutive unique x0s
+    var nGaps = 0
+    var gapSum = 0.0
+    i = 1
+    while (i < m) {
+      val g = uniqueX(i) - uniqueX(i - 1)
+      if (g > 20) { nGaps += 1; gapSum += g }
+      i += 1
+    }
+    if (nGaps == 0) return 1
+    val avgGap = gapSum / nGaps
+    // large gaps: mean over those passing the threshold (same left-to-right order)
+    var nLarge = 0
+    var largeSum = 0.0
+    i = 1
+    while (i < m) {
+      val g = uniqueX(i) - uniqueX(i - 1)
+      if (g > 20 && (g > avgGap * 1.1 || g > pageWidth * 0.2)) { nLarge += 1; largeSum += g }
+      i += 1
+    }
+    if (nLarge > 0) {
+      val avgColumnGap = largeSum / nLarge
+      val k = if (avgColumnGap > pageWidth * 0.15) 2
+        else if (avgColumnGap > pageWidth * 0.08) 3
+        else 4
+      math.max(1, math.min(k, 4))
+    } else 1
   }
 
   /** reference: layout_processor.py:279-297 */
@@ -178,15 +223,25 @@ object Layout {
     * (reference: layout_processor.py:467-493). */
   def heuristicColumnDetection(page: PageResult): Int = {
     if (page.text_blocks.isEmpty || page.width == 0) return 1
-    val withBox = page.text_blocks.filter(_.hasBBox)
-    val blockWidths = withBox.map(b => b.bbox(2) - b.bbox(0))
-    val xCenters = withBox.map(b => (b.bbox(0) + b.bbox(2)) / 2)
-    if (blockWidths.isEmpty) return 1
-    val avgBlockWidth = blockWidths.sum / blockWidths.length
+    var n = 0
+    page.text_blocks.foreach { b => if (b.hasBBox) n += 1 }
+    if (n == 0) return 1
+    val centers = new Array[Double](n)
+    var widthSum = 0.0
+    var i = 0
+    page.text_blocks.foreach { b =>
+      if (b.hasBBox) {
+        widthSum += b.bbox(2) - b.bbox(0)
+        centers(i) = (b.bbox(0) + b.bbox(2)) / 2
+        i += 1
+      }
+    }
+    val avgBlockWidth = widthSum / n
     val pageWidth = page.width
-    if (xCenters.length > 10) {
-      val (_, means) = Cluster.kmeans1D(xCenters.toIndexedSeq, 2)
-      if (means.length == 2 && math.abs(means(1) - means(0)) > pageWidth * 0.3) return 2
+    if (n > 10) {
+      // means-only exact 2-means (bit-identical to kmeans1D(xs, 2)._2)
+      val (m0, m1) = Cluster.kmeans1D2Means(centers)
+      if (math.abs(m1 - m0) > pageWidth * 0.3) return 2
     }
     if (avgBlockWidth < pageWidth * 0.45) {
       val estimated = (pageWidth / (avgBlockWidth * 1.1)).toInt
@@ -200,7 +255,9 @@ object Layout {
     val gridSize = 50
     val cols = (page.width / gridSize).toInt + 1
     val rows = (page.height / gridSize).toInt + 1
-    val density = Array.fill(rows, cols)(0L)
+    // flat row-major grid: the per-page Array-of-Array allocation churn
+    // (rows+1 objects x 2.1M pages) was measurable
+    val density = new Array[Long](rows * cols)
     page.text_blocks.foreach { b =>
       if (b.hasBBox) {
         val x1 = b.bbox(0); val y1 = b.bbox(1); val x2 = b.bbox(2); val y2 = b.bbox(3)
@@ -212,15 +269,35 @@ object Layout {
         var r = startRow
         while (r <= endRow) {
           var c = startCol
-          while (c <= endCol) { density(r)(c) += w; c += 1 }
+          while (c <= endCol) { density(r * cols + c) += w; c += 1 }
           r += 1
         }
       }
     }
-    analyzeDensityDistribution(density, cols)
+    if (rows == 0) return 1
+    // per-column sums + avg + high count (same arithmetic as the Seq form)
+    var total = 0L
+    var c = 0
+    val colSums = new Array[Long](cols)
+    while (c < cols) {
+      var s = 0L
+      var r = 0
+      while (r < rows) { s += density(r * cols + c); r += 1 }
+      colSums(c) = s
+      total += s
+      c += 1
+    }
+    if (cols == 0) return 1
+    val avg = total.toDouble / cols
+    val threshold = avg * 0.3
+    var high = 0
+    c = 0
+    while (c < cols) { if (colSums(c) > threshold) high += 1; c += 1 }
+    if (high <= 1) 1 else if (high <= 2) 2 else if (high <= 3) 3 else 4
   }
 
-  /** reference: layout_processor.py:530-558 */
+  /** reference: layout_processor.py:530-558 (kept for tests/API; the hot
+    * path above inlines the same arithmetic over a flat grid) */
   def analyzeDensityDistribution(density: Array[Array[Long]], cols: Int): Int = {
     if (density.isEmpty) return 1
     val columnDensities = (0 until cols).map(c => density.map(_(c)).sum)
@@ -266,10 +343,19 @@ object Layout {
     columns.map(_.result()).toVector
   }
 
+  /** Stable sort by a double key without boxed Ordering (java TimSort +
+    * Comparator.comparingDouble — the boxed sortBy comparator was a top
+    * self-frame in stack samples; Double.compare semantics identical). */
+  private def sortByDoubleKey(blocks: scala.collection.Seq[TextBlock], key: TextBlock => Double): Vector[TextBlock] = {
+    val arr = blocks.toArray
+    java.util.Arrays.sort(arr, java.util.Comparator.comparingDouble((b: TextBlock) => key(b)))
+    arr.toVector
+  }
+
   /** Per-column sort by y-top; missing bbox sorts as 0
     * (reference: layout_processor.py:336-345). Stable, like Python sorted. */
   def sortBlocksInColumns(columns: Seq[Seq[TextBlock]]): Vector[Vector[TextBlock]] =
-    columns.map(c => c.sortBy(b => if (b.hasBBox) b.bbox(1) else 0.0).toVector).toVector
+    columns.map(c => sortByDoubleKey(c, b => if (b.hasBBox) b.bbox(1) else 0.0)).toVector
 
   /** Reading-order merge: k=2 row-by-row, k!=2 concatenate columns
     * left-to-right (reference: layout_processor.py:347-366). */
@@ -288,15 +374,26 @@ object Layout {
     val left = sortedColumns(0)
     val right = sortedColumns(1)
     val rowTolerance = 20.0
-    val allY = (left ++ right).filter(_.hasBBox).map(_.bbox(1))
-    if (allY.isEmpty) return (left ++ right).toVector
+    var nY = 0
+    left.foreach(b => if (b.hasBBox) nY += 1)
+    right.foreach(b => if (b.hasBBox) nY += 1)
+    if (nY == 0) return (left ++ right).toVector
+    val allY = new Array[Double](nY)
+    var yi = 0
+    left.foreach(b => if (b.hasBBox) { allY(yi) = b.bbox(1); yi += 1 })
+    right.foreach(b => if (b.hasBBox) { allY(yi) = b.bbox(1); yi += 1 })
+    java.util.Arrays.sort(allY)
 
-    // greedy unique rows, first-seen anchor wins (layout_processor.py:393-405)
+    // greedy unique rows, first-seen anchor wins (layout_processor.py:393-405);
+    // anchors emerge in ascending order from the sorted scan, so the final
+    // re-sort of the Seq form is the identity here
     var uniqueRows = Vector.empty[Double]
-    allY.sorted.foreach { y =>
+    var ui = 0
+    while (ui < nY) {
+      val y = allY(ui)
       if (!uniqueRows.exists(e => math.abs(y - e) <= rowTolerance)) uniqueRows :+= y
+      ui += 1
     }
-    uniqueRows = uniqueRows.sorted
 
     // two-pointer sweep per column: blocks are y-sorted, anchors ascending,
     // so each row's matches are a contiguous window [rowY-tol, rowY+tol].
@@ -315,7 +412,7 @@ object Layout {
       while (rs < rightArr.length && rightArr(rs).bbox(1) < rowY - rowTolerance) rs += 1
       i = rs
       while (i < rightArr.length && rightArr(i).bbox(1) <= rowY + rowTolerance) { row += rightArr(i); i += 1 }
-      out ++= row.sortBy(b => if (b.hasBBox) b.bbox(0) else 0.0)
+      out ++= sortByDoubleKey(row, b => if (b.hasBBox) b.bbox(0) else 0.0)
     }
     out.result()
   }
@@ -344,7 +441,7 @@ object Layout {
     * current row. */
   def groupBlocksByRows(blocks: Seq[TextBlock]): Vector[Vector[TextBlock]] = {
     if (blocks.isEmpty) return Vector.empty
-    val sorted = blocks.sortBy(b => if (b.hasBBox) b.bbox(1) else 0.0)
+    val sorted = sortByDoubleKey(blocks, b => if (b.hasBBox) b.bbox(1) else 0.0)
     val rowTolerance = 20.0
     var groups = Vector.empty[Vector[TextBlock]]
     var currentRow = Vector.empty[TextBlock]
