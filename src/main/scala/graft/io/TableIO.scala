@@ -181,6 +181,21 @@ object TableIO {
     * the Exchange that a plain parquet join needs on BOTH corpus-sized
     * sides disappears). Uses the session catalog's managed-table bucketing
     * (swap for Iceberg bucket partition transforms on a real catalog). */
+  /** Write the contract input table WITH a `n_spans` stats column, range-
+    * clustered by document size so giant docs land in their own files/row
+    * groups. At 100 TB this is what makes the skew split's "second scan"
+    * free: `extractContractFromTable`'s big-leg predicate
+    * (`n_spans > threshold`) is an ordinary pushable column filter, so
+    * parquet row-group min/max stats skip every non-giant row group instead
+    * of decoding the whole corpus twice (the raw (doc_id, spans) input has
+    * nothing pushable — size(spans) cannot reach the scan). */
+  def writeContractInput(df: DataFrame, path: String, sizeBuckets: Int = 8): Unit =
+    df.select(col("doc_id"), col("spans"),
+        coalesce(size(col("spans")), lit(0)).as("n_spans"))
+      .repartitionByRange(sizeBuckets, col("n_spans"))
+      .sortWithinPartitions("n_spans")
+      .write.mode("overwrite").parquet(path)
+
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String, buckets: Int): Unit =
     df.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)

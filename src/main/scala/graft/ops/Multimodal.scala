@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * JPEG/PNG/GIF/BMP/TIFF are decoded by the JDK's own `javax.imageio`
   * readers ([[decodeImageIO]] — also zero external libraries). The synthetic
   * corpus generates genuine PGM, PNG and JPEG payloads, so all three decode
-  * paths run end-to-end on real image bytes. Only audio/video remain
-  * stub-fallback ([[decodeStub]]) — the JDK ships no audio/video codecs;
-  * swap that fallback for ffmpeg bindings on a real cluster. Everything
-  * Spark-side — schema, batch shape, partition strategy, join shape — is
-  * real and tested either way.
+  * paths run end-to-end on real image bytes. WAV (RIFF/PCM) audio is
+  * decoded by the JDK's `javax.sound.sampled` ([[decodeWavPcm]] — again no
+  * external libraries) with genuine WAV payloads in the synthetic corpus.
+  * Only compressed audio and video remain stub-fallback ([[decodeStub]]) —
+  * the JDK ships no codecs for those; swap that fallback for ffmpeg
+  * bindings on a real cluster. Everything Spark-side — schema, batch shape,
+  * partition strategy, join shape — is real and tested either way.
   */
 object Multimodal {
 
@@ -239,6 +241,111 @@ object Multimodal {
       }
       MediaFeatures(m.media_ref, m.doc_id, m.kind, content.length, sha1Hex(content),
         decoder, mean, edges / 56.0, phash)
+    })
+  }
+
+  // ---------------------------------------------------------------------
+  // Audio: REAL WAV (RIFF/PCM) decode via the JDK's javax.sound.sampled —
+  // like imageio, the parser ships with the JDK; only compressed audio and
+  // video remain stub territory.
+  // ---------------------------------------------------------------------
+
+  final case class AudioFeatures(
+      media_ref: String,
+      doc_id: String,
+      n_bytes: Int,
+      decoder: String, // "wav" (real parse) | "stub"
+      sample_rate: Int,
+      n_samples: Int,
+      duration_ms: Long,
+      rms: Double, // root-mean-square amplitude, normalized to [0,1]
+      zero_crossings: Int)
+
+  /** Encode 16-bit mono PCM as a genuine WAV byte stream (RIFF header +
+    * PCM fmt chunk — the public container format, written directly so the
+    * bytes are deterministic). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** REAL WAV decode via `javax.sound.sampled.AudioSystem`: returns 16-bit
+    * mono samples + sample rate, or None when the bytes are not a parseable
+    * WAV (falls through to the stub, mirroring the image dispatch). */
+  def decodeWavPcm(content: Array[Byte]): Option[(Array[Short], Int)] = {
+    if (content == null || content.length < 44) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+      val bytes = in.readAllBytes()
+      val n = bytes.length / 2
+      val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) { samples(i) = bb.getShort(); i += 1 }
+      Some((samples, fmt.getSampleRate.toInt))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic synthetic audio corpus: genuine RIFF/PCM WAV bytes with a
+    * seeded 16-bit waveform (same keying discipline as [[syntheticMedia]]). */
+  def syntheticAudio(spark: SparkSession, refs: Dataset[(String, String)]): Dataset[MediaRow] = {
+    import spark.implicits._
+    refs.map { case (ref, docId) =>
+      val seed = ref.hashCode.toLong & 0xffffffffL
+      val n = 800 + (seed % 1600).toInt // 0.1-0.3 s at 8 kHz
+      val samples = new Array[Short](n)
+      var s = seed
+      var i = 0
+      while (i < n) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        samples(i) = (s >>> 48).toShort
+        i += 1
+      }
+      val bytes = encodeWavPcm16(samples, 8000)
+      MediaRow(ref, docId, "audio", bytes, 0, 0, n * 1000L / 8000L)
+    }
+  }
+
+  /** Audio feature kernel: real WAV parse -> duration / RMS / zero-crossing
+    * rate (the standard cheap audio-quality signals); stub fallback keeps
+    * the pipeline total like the image path. */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val content = if (m.content == null) Array.empty[Byte] else m.content
+      decodeWavPcm(content) match {
+        case Some((samples, rate)) =>
+          var sumSq = 0.0
+          var zc = 0
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i) / 32768.0
+            sumSq += v * v
+            if (i > 0 && ((samples(i) >= 0) != (samples(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          val rms = if (samples.isEmpty) 0.0 else math.sqrt(sumSq / samples.length)
+          AudioFeatures(m.media_ref, m.doc_id, content.length, "wav", rate, samples.length,
+            if (rate > 0) samples.length * 1000L / rate else 0L, rms, zc)
+        case None =>
+          AudioFeatures(m.media_ref, m.doc_id, content.length, "stub", 0, 0, m.duration_ms, 0.0, 0)
+      }
     })
   }
 

@@ -1012,6 +1012,50 @@ object Queries {
       |  words[chunk_id * 48 + 1] AS first_token
       |FROM c""".stripMargin
 
+  /** Benchmark decontamination (round-3): exact 8-gram overlap between every
+    * corpus document and a benchmark set — the public eval-decontamination
+    * method (n-gram collision flagging, as popularized by the GPT-3 /
+    * Gopher appendices). The benchmark set here is derived from docs with
+    * doc_id < 5 (deterministic stand-in for an external eval table; in
+    * production it is its own small table). Scale shape: the benchmark gram
+    * set is SMALL and explicitly broadcast; the corpus side streams through
+    * an explode -> broadcast LEFT SEMI join -> per-doc count — linear, no
+    * corpus-side pairs, no corpus broadcast. */
+  private val qDecontaminate: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val sh = doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, TextOps.wordShinglesKernel(t, 8)) })
+      .toDF("doc_id", "grams")
+    val exploded = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val bench = exploded.filter(col("doc_id") < 5).select("gram").distinct()
+    val matched = exploded.join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    sh.select(col("doc_id"), size(col("grams")).as("n_grams"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)) / col("n_grams").cast("double"), 4).as("contam_frac"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+  }
+  private val oDecontaminate =
+    """WITH sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(string_split(lower(trim(text)), ' ')) < 8
+      |    THEN [array_to_string(string_split(lower(trim(text)), ' '), ' ')]
+      |    ELSE list_transform(range(0, len(string_split(lower(trim(text)), ' ')) - 7),
+      |      i -> array_to_string(string_split(lower(trim(text)), ' ')[i+1:i+8], ' ')) END) AS s
+      |  FROM documents),
+      |bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id < 5),
+      |ex AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+      |matched AS (SELECT doc_id, count(*) AS n_matched FROM ex
+      |  WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+      |SELECT s.doc_id, CAST(len(s.s) AS INTEGER) AS n_grams,
+      |  CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+      |  round(coalesce(m.n_matched, 0) / CAST(len(s.s) AS DOUBLE), 4) AS contam_frac,
+      |  coalesce(m.n_matched, 0) > 0 AS contaminated
+      |FROM sh s LEFT JOIN matched m ON s.doc_id = m.doc_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1062,7 +1106,8 @@ object Queries {
     "q45_token_topk" -> qTokenTopK,
     "q46_subword_tokenize" -> qSubwordTokenize,
     "q47_pii_scrub" -> qPiiScrub,
-    "q48_chunk_windows" -> qChunkWindows
+    "q48_chunk_windows" -> qChunkWindows,
+    "q49_decontaminate" -> qDecontaminate
   )
 
   val oracles: Map[String, String] = Map(
@@ -1113,6 +1158,7 @@ object Queries {
     "q45_token_topk" -> oTokenTopK,
     "q46_subword_tokenize" -> oSubwordTokenize,
     "q47_pii_scrub" -> oPiiScrub,
-    "q48_chunk_windows" -> oChunkWindows
+    "q48_chunk_windows" -> oChunkWindows,
+    "q49_decontaminate" -> oDecontaminate
   )
 }

@@ -345,6 +345,34 @@ object Extract {
         .as("spans"),
       col("num_pages"), col("quarantined"), col("error"), col("error_code"))
 
+  /** Contract pipeline over a size-statted managed table
+    * (written by `TableIO.writeContractInput`, which adds a pushable
+    * `n_spans` column and range-clusters by it): identical semantics to
+    * [[extractContract]], but both legs' size predicates reach the parquet
+    * scan (`PushedFilters: [LessThanOrEqual/GreaterThan(n_spans, ...)]`),
+    * so row-group min/max stats skip the non-matching groups — the big leg
+    * costs ~zero I/O when no giants exist, instead of a full second decode
+    * of the corpus. This is the at-scale input layout. */
+  def extractContractFromTable(
+      spark: SparkSession,
+      path: String,
+      cfg: ExtractConfig = ExtractConfig.default,
+      skewSpanThreshold: Int = 512 * Parse.SpansPerPage,
+      pageParallelism: Int = 0): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val input = spark.read.parquet(path)
+    if (cfg.engine != "core")
+      return extractSpansDF(input.select(col("doc_id"), col("spans")), cfg)
+    val small = extractSpansRows(
+      input.filter(col("n_spans") <= skewSpanThreshold).select(col("doc_id"), col("spans")), cfg)
+    val bigIn = input.filter(col("n_spans") > skewSpanThreshold)
+      .select(col("doc_id").cast("string").as("doc_id"), col("spans")).as[RawDoc]
+    val big = pageSplitSpanDocs(bigIn, cfg, pageParallelism)
+      .toDF().select(col("doc_id"), col("spans").cast(SpanArraySchema).as("spans"),
+        col("num_pages"), col("quarantined"), col("error"), col("error_code"))
+    small.unionByName(big)
+  }
+
   /** Production contract entry: input table -> output table, fast columnar
     * path for typical docs + page-split path for giants beyond
     * `skewSpanThreshold`. Both legs emit the contract schema; the plan has

@@ -115,6 +115,24 @@ class PlanSpec extends AnyFunSuite {
     assert(r.getString(1) == "plain")
   }
 
+  test("size-statted managed input: n_spans predicate pushed to the parquet scan, results identical") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contract_stats").toString
+    val raw = spark.createDataset(graft.fixtures.Fixtures.corpus(40).toSeq).toDF()
+    graft.io.TableIO.writeContractInput(raw.select(col("doc_id").cast("string").as("doc_id"), col("spans")), dir)
+    val viaTable = graft.pipeline.Extract.extractContractFromTable(spark, dir, skewSpanThreshold = 64)
+    // the big leg's size filter must reach the scan (pushable column, unlike size(spans))
+    val plan = viaTable.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_spans), GreaterThan(n_spans,64)]"),
+      s"n_spans predicate not pushed:\n${plan.take(2500)}")
+    // identical results to the raw-input contract path
+    val viaRaw = graft.pipeline.Extract.extractContract(raw, skewSpanThreshold = 64)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("doc_id", "to_json(spans) AS j", "num_pages", "quarantined")
+        .as[(String, String, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(canon(viaTable) == canon(viaRaw))
+  }
+
   test("native SubwordCountExpr: codegen'd, greedy longest-match values") {
     graft.functions.Functions.registerAll(spark)
     val df = spark.read.parquet(s"$sf/documents.parquet")

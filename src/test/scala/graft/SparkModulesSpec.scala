@@ -201,6 +201,30 @@ class MultimodalSpec extends AnyFunSuite {
       yield math.abs(jpgRaster(y)(x) - (gray(y * w + x) & 0xff))).sum.toDouble / (w * h)
     assert(err < 8.0, s"JPEG decode mean abs error $err too high")
   }
+
+  test("javax.sound WAV decode: lossless PCM round-trip + audio features e2e") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // PCM round trip is lossless: decoded samples == encoded samples
+    val samples = Array.tabulate(1000)(i => ((i * 331) % 65536 - 32768).toShort)
+    val wav = Multimodal.encodeWavPcm16(samples, 8000)
+    assert(wav.take(4).sameElements("RIFF".getBytes("US-ASCII")), "genuine RIFF magic")
+    val Some((decoded, rate)) = Multimodal.decodeWavPcm(wav)
+    assert(rate == 8000)
+    assert(decoded.sameElements(samples), "WAV PCM round trip must be lossless")
+    // malformed bytes fall through to the stub path
+    assert(Multimodal.decodeWavPcm("not a wav at all........................................".getBytes).isEmpty)
+    // e2e: synthetic audio corpus -> features, all through the REAL decoder
+    val refs = spark.createDataset(Seq(("aud-1", "d1"), ("aud-2", "d2")))
+    val feats = Multimodal.extractAudioFeatures(Multimodal.syntheticAudio(spark, refs)).collect()
+    assert(feats.length == 2)
+    assert(feats.forall(_.decoder == "wav"), s"got ${feats.map(_.decoder).toSeq}")
+    assert(feats.forall(f => f.sample_rate == 8000 && f.n_samples > 0 && f.rms > 0.0))
+    assert(feats.forall(f => f.duration_ms == f.n_samples * 1000L / 8000L))
+    // determinism
+    val again = Multimodal.extractAudioFeatures(Multimodal.syntheticAudio(spark, refs)).collect()
+    assert(feats.sortBy(_.media_ref).toSeq == again.sortBy(_.media_ref).toSeq)
+  }
 }
 
 class StreamingSpec extends AnyFunSuite {
