@@ -393,11 +393,17 @@ object Queries {
       |  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
       |FROM documents""".stripMargin
 
-  private val qLangId: Q = (spark, sfDir) =>
-    doc(spark, sfDir).select(
-      col("doc_id"),
-      TextOps.langId(col("text")).as("lang_guess"),
-      TextOps.stopwordHits(col("text")).as("stop_hits"))
+  private val qLangId: Q = (spark, sfDir) => {
+    import spark.implicits._
+    // kernel twin of langId + stopwordHits (one text pass; the Column form
+    // paid a full-text regexp_replace plus a split+filter HOF per row)
+    doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (lang, hits) = TextOps.langIdKernel(t)
+        (id, lang, hits)
+      })
+      .toDF("doc_id", "lang_guess", "stop_hits")
+  }
   private val oLangId =
     """WITH s AS (SELECT doc_id, text,
       |  len(list_filter(string_split(lower(trim(text)), ' '),
@@ -483,12 +489,17 @@ object Queries {
       |         len(list_distinct(a.s || b.s)) END, 4) AS jaccard3
       |FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id""".stripMargin
 
-  private val qMinhash: Q = (spark, sfDir) =>
-    doc(spark, sfDir)
-      .select(col("doc_id"), TextOps.distinctTokens(col("text")).as("words"))
-      .select(col("doc_id"), TextOps.minhashSigFromWords(col("words"), 8).as("sig"))
-      .select(col("doc_id"), posexplode(col("sig")))
-      .select(col("doc_id"), col("pos").cast("int").as("h"), col("col").as("minhash"))
+  private val qMinhash: Q = (spark, sfDir) => {
+    import spark.implicits._
+    // kernel twin: identical md5 stream (hash32 of token#i), one digest per
+    // (distinct token, i) in plain Scala instead of the nested HOF form
+    doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val sig = TextOps.minhashSigKernel(t, 8)
+        Iterator.tabulate(8)(i => (id, i, sig(i)))
+      })
+      .toDF("doc_id", "h", "minhash")
+  }
   private val oMinhash = {
     val hashes = (0 until 8).map { i =>
       s"""(SELECT min(('0x' || substr(md5(w || '#$i'), 1, 8))::BIGINT)
@@ -505,14 +516,13 @@ object Queries {
     * explode on skewed buckets at 100 TB; dedup keeps min(doc_id) per
     * bucket instead. */
   private val qMinhashLshBuckets: Q = (spark, sfDir) => {
-    val sig = doc(spark, sfDir)
-      .select(col("doc_id"), TextOps.distinctTokens(col("text")).as("words"))
-      .select(col("doc_id"), TextOps.minhashSigFromWords(col("words"), 8).as("sig"))
-    sig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => md5(concat_ws(",", element_at(col("sig"), b * 2 + 1), element_at(col("sig"), b * 2 + 2))))))
-      .select(col("doc_id"), col("pos").cast("int").as("band"), col("col").as("band_key"))
+    import spark.implicits._
+    doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        val sig = TextOps.minhashSigKernel(t, 8)
+        Iterator.tabulate(4)(b => (id, b, TextOps.md5Hex(sig(2 * b) + "," + sig(2 * b + 1))))
+      })
+      .toDF("doc_id", "band", "band_key")
       .groupBy("band", "band_key")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
       .filter(col("n_docs") >= 2)
@@ -648,16 +658,39 @@ object Queries {
     * inequality condition forces a nested-loop join, so ship the 200-vector
     * probe set, never the corpus. */
   private val qEmbeddingNearDup: Q = (spark, sfDir) => {
+    import spark.implicits._
     val emb = tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = emb.filter(col("vec_id") < 200)
-      .select(col("vec_id").as("id_a"), col("v").as("va"))
-    val dot = aggregate(zip_with(col("va"), col("v"), (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(col("va"), lit(0.0), (s, x) => s + x * x))
-    val nv = sqrt(aggregate(col("v"), lit(0.0), (s, x) => s + x * x))
-    broadcast(a).join(emb, col("id_a") < col("vec_id"))
-      .select(col("id_a"), col("vec_id").as("id_b"), round(dot / (na * nv), 6).as("cosine"))
-      .filter(col("cosine") > 0.35)
+      .as[(Long, Seq[Double])]
+    // The BOUNDED probe side (200 vectors, ~100 KB) ships as an explicit
+    // broadcast variable — the same bytes the former broadcast nested-loop
+    // join materialized on the driver, minus the per-pair HOF expression
+    // overhead (kernel dot products; same left-to-right FP order, Spark
+    // BigDecimal rounding). The corpus side streams; still no corpus
+    // broadcast, still linear in corpus size x probe count.
+    val probes = emb.filter(_._1 < 200).collect()
+      .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    val bc = emb.sparkSession.sparkContext.broadcast(probes)
+    emb.mapPartitions { it =>
+      val ps = bc.value
+      it.flatMap { case (vid, vSeq) =>
+        val v = vSeq.toArray
+        var nv = 0.0
+        var i = 0
+        while (i < v.length) { nv += v(i) * v(i); i += 1 }
+        val nvRoot = math.sqrt(nv)
+        ps.iterator.filter(_._1 < vid).flatMap { case (ida, va) =>
+          var dot = 0.0
+          var na = 0.0
+          var j = 0
+          while (j < va.length && j < v.length) { dot += va(j) * v(j); j += 1 }
+          j = 0
+          while (j < va.length) { na += va(j) * va(j); j += 1 }
+          val c = TextOps.round6Kernel(dot / (math.sqrt(na) * nvRoot))
+          if (c > 0.35) Iterator.single((ida, vid, c)) else Iterator.empty
+        }
+      }
+    }.toDF("id_a", "id_b", "cosine")
   }
   private val oEmbeddingNearDup =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -752,12 +785,17 @@ object Queries {
 
   /** Gopher-style repetition quality filters (dup word / dup 2-gram
     * fractions) — public pretraining-filter heuristics (Rae et al. 2021). */
-  private val qRepetitionFilter: Q = (spark, sfDir) =>
-    doc(spark, sfDir).select(
-      col("doc_id"),
-      TextOps.repetitionRatios(col("text")).as("rep"))
-      .select(col("doc_id"), col("rep.dup_word_frac"), col("rep.dup_2gram_frac"),
-        (col("rep.dup_word_frac") < 0.9 && col("rep.dup_2gram_frac") < 0.9).as("keep"))
+  private val qRepetitionFilter: Q = (spark, sfDir) => {
+    import spark.implicits._
+    // kernel twin (same tokenization, HashSet distinct, Spark-round): the
+    // HOF gram-build expression was the 2nd most expensive bench query
+    doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        val (dw, d2) = TextOps.repetitionRatiosKernel(t)
+        (id, dw, d2, dw < 0.9 && d2 < 0.9)
+      })
+      .toDF("doc_id", "dup_word_frac", "dup_2gram_frac", "keep")
+  }
   private val oRepetitionFilter =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents),
       |m AS (SELECT doc_id, words, len(words) AS n,

@@ -219,6 +219,102 @@ object TextOps {
     struct(dupWord.as("dup_word_frac"), dup2.as("dup_2gram_frac"))
   }
 
+  // ---------------------------------------------------------------------
+  // Kernel (plain-Scala) twins of the hot Column operators — identical
+  // values (same tokenization, same md5 stream, Spark's own BigDecimal
+  // HALF_UP rounding), measured several times cheaper than the HOF
+  // expression forms at sf0.1. Pattern precedent: simhash32Kernel.
+  // ---------------------------------------------------------------------
+
+  /** Spark round(x, scale): scala BigDecimal HALF_UP — the exact code path
+    * Catalyst's Round takes for DoubleType. */
+  private def roundK(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def splitWordsKernel(text: String): Array[String] =
+    (if (text == null) "" else text).trim.toLowerCase.split("\\s+", -1)
+
+  /** Kernel twin of [[repetitionRatios]]: (dup_word_frac, dup_2gram_frac). */
+  def repetitionRatiosKernel(text: String): (Double, Double) = {
+    val words = splitWordsKernel(text)
+    val n = words.length
+    val dupW = if (n > 0) {
+      val set = new java.util.HashSet[String](n * 2)
+      var i = 0
+      while (i < n) { set.add(words(i)); i += 1 }
+      roundK(1.0 - set.size.toDouble / n, 4)
+    } else 0.0
+    val dup2 = if (n >= 2) {
+      val set = new java.util.HashSet[String](n * 2)
+      var i = 0
+      while (i + 1 < n) { set.add(words(i) + " " + words(i + 1)); i += 1 }
+      roundK(1.0 - set.size.toDouble / (n - 1), 4)
+    } else 0.0
+    (dupW, dup2)
+  }
+
+  /** Kernel twin of [[minhashSig]]: sig_i = min over distinct tokens of
+    * hash32(token + "#i") — the identical md5 stream, one digest per
+    * (distinct token, i) instead of a nested HOF expression. */
+  def minhashSigKernel(text: String, k: Int): Array[Long] = {
+    val words = splitWordsKernel(text)
+    val distinct = new java.util.LinkedHashSet[String]()
+    words.foreach(distinct.add)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val it = distinct.iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      var i = 0
+      while (i < k) {
+        val h = hash32Kernel(w + "#" + i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Full md5 hex (JVM twin of Spark's md5() over a UTF-8 string). */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Kernel twin of [[langId]] + [[stopwordHits]] in one pass:
+    * (lang_guess, stop_hits). CJK range is BMP, so char-level counting
+    * equals the Column form's UTF-16 length arithmetic. */
+  def langIdKernel(text: String): (String, Int) = {
+    val t = if (text == null) "" else text
+    var cjk = 0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c >= '一' && c <= '鿿') cjk += 1
+      i += 1
+    }
+    var stopHits = 0
+    val words = splitWordsKernel(t)
+    var j = 0
+    while (j < words.length) {
+      if (EnStopwordSet.contains(words(j))) stopHits += 1
+      j += 1
+    }
+    val lang =
+      if (t.length > 0 && cjk / t.length.toDouble > 0.3) "zh"
+      else if (stopHits > 0) "en"
+      else "unknown"
+    (lang, stopHits)
+  }
+
+  private val EnStopwordSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    EnStopwords.foreach(s.add)
+    s
+  }
+
+  /** Spark-round twin exposed for other kernel callers. */
+  def round6Kernel(x: Double): Double = roundK(x, 6)
+
   /** Jaccard similarity of two string arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
