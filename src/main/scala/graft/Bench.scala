@@ -23,10 +23,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // span-array rows: small columnar batches avoid nested-reader vector
-      // realloc churn (measured −15% extraction wall vs the 4096 default)
+      // span-array rows: columnar batch memory scales with rowSize x
+      // batchSize and giant docs dominate bytes — 64-row batches keep the
+      // per-task batch ~20 MB (measured -30%+ extraction wall vs 512)
       .config("spark.sql.parquet.columnarReaderBatchSize",
-        sys.env.getOrElse("SPARK_GRAFT_BATCH", "512"))
+        sys.env.getOrElse("SPARK_GRAFT_BATCH", "64"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))

@@ -29,11 +29,12 @@ object ScalingBench {
       // both levels — on a real 100 TB table the file count provides this)
       .config("spark.sql.files.maxPartitionBytes", sys.env.getOrElse("SPARK_GRAFT_SPLIT", "4m"))
       .config("spark.sql.files.openCostInBytes", "1m")
-      // span-array rows are ~300 elements each: the default 4096-row batch
-      // makes the nested reader's child vectors grow through repeated
-      // reserve()/realloc (hot frame); smaller batches keep them resident
+      // span-array rows: columnar batch MEMORY scales with rowSize x
+      // batchSize, and 1-in-20 giant docs dominate bytes — 64-row batches
+      // keep giant batches ~20 MB/task (512 rows was ~150 MB -> GC churn;
+      // the 4096 default also thrashed child-vector reserve()/realloc)
       .config("spark.sql.parquet.columnarReaderBatchSize",
-        sys.env.getOrElse("SPARK_GRAFT_BATCH", "512"))
+        sys.env.getOrElse("SPARK_GRAFT_BATCH", "64"))
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -99,6 +100,34 @@ object ScalingBench {
       val thresholdPages = args.lift(3).map(_.toInt).getOrElse(512)
       val s = runOnce(cores, args(2), cores * 4, thresholdPages * graft.kernel.Parse.SpansPerPage)
       println(s"""{"cores":${s.cores},"wall_sec":${s.wallSec},"docs":${s.docs},"pages":${s.pages},"spans":${s.spans},"docs_per_sec":${s.docsPerSec},"pages_per_sec":${s.pagesPerSec},"checksum":${s.checksum}}""")
+
+    // managed-input leg: same corpus rewritten once (untimed) via
+    // TableIO.writeContractInput (pushable n_spans, size-clustered row
+    // groups), then the timed pass uses extractContractFromTable — measures
+    // what the stats column buys over the raw two-scan shape.
+    case Some("stats") =>
+      val cores = args(1).toInt
+      val rawPath = args(2)
+      val statsPath = rawPath.stripSuffix("/") + "_statted"
+      val spark = session(cores)
+      try {
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath))) {
+          graft.io.TableIO.writeContractInput(spark.read.parquet(rawPath), statsPath)
+        }
+        graft.pipeline.Extract.extractContractFromTable(spark, statsPath,
+          skewSpanThreshold = 512 * graft.kernel.Parse.SpansPerPage)
+          .selectExpr("count(*)").collect() // warmup
+        val t0 = System.nanoTime()
+        val row = graft.pipeline.Extract.extractContractFromTable(spark, statsPath,
+          skewSpanThreshold = 512 * graft.kernel.Parse.SpansPerPage, pageParallelism = cores * 4)
+          .filter(!org.apache.spark.sql.functions.col("quarantined"))
+          .selectExpr("count(*) AS docs", "sum(num_pages) AS pages",
+            "sum(coalesce(size(spans), 0)) AS spans",
+            "sum(cast(hash(doc_id, spans) AS BIGINT)) AS checksum")
+          .collect()(0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(s"""{"mode":"stats","cores":$cores,"wall_sec":$wall,"docs":${row.getLong(0)},"pages":${row.getLong(1)},"spans":${row.getLong(2)},"pages_per_sec":${row.getLong(1) / wall},"checksum":${row.getLong(3)}}""")
+      } finally spark.stop()
 
     case Some("report") =>
       val nDocs = args(1).toInt

@@ -15,6 +15,8 @@ object ScanProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_BATCH", "512"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,6 +76,26 @@ object ScanProbe {
     time("full contract") {
       graft.pipeline.Extract.extractContract(docs)
         .selectExpr("count(*)", "sum(coalesce(size(spans),0))").collect()
+    }
+    val stattedPath = path.stripSuffix("/") + "_statted"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(stattedPath))) {
+      val st = spark.read.parquet(stattedPath)
+      time("statted scan+count") {
+        st.selectExpr("count(*)", "sum(size(spans))").collect()
+      }
+      time("statted fast rows (no filter)") {
+        graft.pipeline.Extract.extractSpansRows(st.select(col("doc_id"), col("spans")))
+          .selectExpr("count(*)", "sum(coalesce(size(spans),0))").collect()
+      }
+      time("statted fast rows (n_spans filter)") {
+        graft.pipeline.Extract.extractSpansRows(
+          st.filter(col("n_spans") <= 12288).select(col("doc_id"), col("spans")))
+          .selectExpr("count(*)", "sum(coalesce(size(spans),0))").collect()
+      }
+      time("statted full fromTable") {
+        graft.pipeline.Extract.extractContractFromTable(spark, stattedPath)
+          .selectExpr("count(*)", "sum(coalesce(size(spans),0))").collect()
+      }
     }
     spark.stop()
   }

@@ -1061,21 +1061,25 @@ object Queries {
     * corpus-side pairs, no corpus broadcast. */
   private val qDecontaminate: Q = (spark, sfDir) => {
     import spark.implicits._
-    val sh = doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, TextOps.wordShinglesKernel(t, 8)) })
-      .toDF("doc_id", "grams")
-    val exploded = sh.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val bench = exploded.filter(col("doc_id") < 5).select("gram").distinct()
-    val matched = exploded.join(broadcast(bench), Seq("gram"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    sh.select(col("doc_id"), size(col("grams")).as("n_grams"))
-      .join(matched, Seq("doc_id"), "left")
+    val ex = doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        TextOps.wordShinglesKernel(t, 8).iterator.map(g => (id, g))
+      })
+      .toDF("doc_id", "gram")
+    val bench = ex.filter(col("doc_id") < 5).select("gram").distinct()
+      .withColumn("hit", lit(1))
+    // one counting pass: per-doc total grams AND matched grams from a single
+    // broadcast LEFT join (count(hit) skips nulls) — no join-back, and the
+    // shingle kernel runs twice (bench derivation + main pass) instead of 3x
+    ex.join(broadcast(bench), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"), count(col("hit")).as("n_matched"))
       .select(
         col("doc_id"),
         col("n_grams"),
-        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
-        round(coalesce(col("n_matched"), lit(0L)) / col("n_grams").cast("double"), 4).as("contam_frac"),
-        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+        col("n_matched"),
+        round(col("n_matched") / col("n_grams").cast("double"), 4).as("contam_frac"),
+        (col("n_matched") > 0).as("contaminated"))
   }
   private val oDecontaminate =
     """WITH sh AS (SELECT doc_id,
