@@ -111,8 +111,23 @@ object ScalingBench {
       val statsPath = rawPath.stripSuffix("/") + "_statted"
       val spark = session(cores)
       try {
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath))) {
-          graft.io.TableIO.writeContractInput(spark.read.parquet(rawPath), statsPath)
+        // Reuse the statted rewrite only if it was DERIVED FROM this raw
+        // corpus: a stale dir from an earlier/different corpus would
+        // silently bench the wrong input (ADVICE r03). Cheap validation —
+        // row count plus an order-independent doc_id checksum, both
+        // metadata/footer-level scans — else rewrite.
+        val rawDf = spark.read.parquet(rawPath)
+        def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.selectExpr("count(*) AS n",
+            "sum(cast(hash(doc_id) AS BIGINT)) AS chk").collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        val reusable = java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath)) && {
+          try sig(spark.read.parquet(statsPath)) == sig(rawDf)
+          catch { case _: Throwable => false }
+        }
+        if (!reusable) {
+          graft.io.TableIO.writeContractInput(rawDf, statsPath)
         }
         graft.pipeline.Extract.extractContractFromTable(spark, statsPath,
           skewSpanThreshold = 512 * graft.kernel.Parse.SpansPerPage)

@@ -321,4 +321,40 @@ object TextOps {
     val union = size(array_union(a, b)).cast("double")
     when(union === 0, 0.0).otherwise(inter / union)
   }
+
+  /** Benchmark decontamination over TWO independent tables — the production
+    * shape (GPT-3 appx C / Gopher appx: flag training docs sharing n-grams
+    * with an eval suite). `corpus` is (doc_id, text); `benchmark` is any
+    * relation with a `text` column — its OWN table/scan, typically tiny
+    * (eval suites are thousands of docs). Scale shape: the benchmark gram
+    * set is distinct'd and explicitly broadcast; the corpus side streams
+    * through shingle-explode -> broadcast left join -> per-doc count —
+    * linear in corpus grams, no corpus-side pairs, no corpus broadcast.
+    * Returns (doc_id, n_grams, n_matched, contam_frac, contaminated). */
+  def decontaminate(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusGrams = corpus
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        wordShinglesKernel(t, n).iterator.map(g => (id, g))
+      })
+      .toDF("doc_id", "gram")
+    val benchGrams = benchmark.select(col("text")).as[String]
+      .mapPartitions(_.flatMap(t => wordShinglesKernel(t, n).iterator))
+      .toDF("gram").distinct()
+      .withColumn("hit", lit(1))
+    // one counting pass: per-doc total grams AND matched grams from a single
+    // broadcast LEFT join (count(hit) skips nulls) — no join-back
+    corpusGrams.join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_grams"), count(col("hit")).as("n_matched"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_matched"),
+        round(col("n_matched") / col("n_grams").cast("double"), 4).as("contam_frac"),
+        (col("n_matched") > 0).as("contaminated"))
+  }
 }

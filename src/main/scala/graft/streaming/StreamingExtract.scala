@@ -96,6 +96,19 @@ object StreamingExtract {
       }
   }
 
+  /** Always-on SERVICE shape of [[dedupStream]]: state TTL is ON by default
+    * (24 h) so fingerprint state is bounded for a long-running composition —
+    * exact dedup within the TTL horizon, state bounded by distinct content
+    * seen per day (VERDICT r03 #5). `dedupStream` itself keeps `None` as its
+    * default for the exact-forever batch-demo shape; this wrapper is the
+    * entry point a deployment should wire. */
+  val DefaultDedupTtl: java.time.Duration = java.time.Duration.ofHours(24)
+
+  def dedupStreamService(
+      docs: DataFrame,
+      stateTtl: java.time.Duration = DefaultDedupTtl): org.apache.spark.sql.Dataset[(String, String)] =
+    dedupStream(docs, Some(stateTtl))
+
   /** Watermarked windowed throughput metrics over an evented span stream:
     * (event_time, doc_id, n_spans) -> per-minute doc/span counts with
     * 2-minute lateness tolerance. The stateful-aggregation shape for

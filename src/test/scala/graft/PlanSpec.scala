@@ -148,6 +148,20 @@ class PlanSpec extends AnyFunSuite {
     assert(graft.ops.Tokenize.countText("The thex zzq") == 6L)
   }
 
+  test("file-backed subword vocabulary: committed resource loads; file grammar parsed") {
+    // the committed demo vocab resource is the default (60 entries, 'the'
+    // present, every entry >= 2 code points)
+    assert(graft.ops.Tokenize.Vocab.length == 60, s"got ${graft.ops.Tokenize.Vocab.length}")
+    assert(graft.ops.Tokenize.Vocab.contains("the") && graft.ops.Tokenize.Vocab.contains("tion"))
+    // file grammar: trim, skip blanks and '#'-comments; empty file fails loudly
+    val parsed = graft.ops.Tokenize.parseVocab(
+      Iterator("# learned merges", "", "  the ", "ing", "# end"))
+    assert(parsed == IndexedSeq("the", "ing"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Tokenize.parseVocab(Iterator("# only comments", ""))
+    }
+  }
+
   test("co-bucketed doc-keyed join plans without a shuffle (TableIO.writeBucketed)") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS bspec_docs")

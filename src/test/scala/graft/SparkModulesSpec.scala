@@ -320,6 +320,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_._1 == helloFp) == 2, "the expired fingerprint must appear twice")
   }
 
+  test("decontaminate: two independent tables, eval side broadcast") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "z y x w v u t s r q"),
+      (2L, "a b c d e f g h xx")).toDF("doc_id", "text")
+    val bench = Seq("a b c d e f g h i j k l").toDF("text")
+    val df = graft.ops.TextOps.decontaminate(corpus, bench, n = 8)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "eval gram set must join via broadcast (no corpus shuffle on the gram key)")
+    val r = df.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getBoolean(4))).sortBy(_._1)
+    assert(r(0) == ((0L, 3, 3L, true)), s"doc 0: ${r(0)}") // all three 8-grams in the suite
+    assert(r(1) == ((1L, 3, 0L, false)), s"doc 1: ${r(1)}")
+    assert(r(2) == ((2L, 2, 1L, true)), s"doc 2: ${r(2)}") // prefix gram only
+  }
+
+  test("streaming dedup SERVICE default: finite TTL on by default, expiry re-admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // the service entry point must default to a FINITE ttl (bounded state
+    // for always-on deployments — VERDICT r03 #5); the exact-forever shape
+    // stays opt-in via dedupStream(ttl = None)
+    assert(!graft.streaming.StreamingExtract.DefaultDedupTtl.isZero &&
+      !graft.streaming.StreamingExtract.DefaultDedupTtl.isNegative)
+    assert(graft.streaming.StreamingExtract.DefaultDedupTtl.toHours == 24)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup_svc")
+    val in = s"$dir/in"; val out = s"$dir/out"; val cp = s"$dir/cp"
+    val schema = StructType(Seq(StructField("doc_id", StringType), StructField("text", StringType)))
+    def runBatch(): Unit = {
+      val q = graft.streaming.StreamingExtract.dedupStreamService(
+        spark.readStream.schema(schema).parquet(in), stateTtl = java.time.Duration.ofMillis(200))
+        .toDF("fp", "keep_doc_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    Seq(("a", "hello world")).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+    runBatch()
+    Thread.sleep(600)
+    Seq(("b", "other text")).toDF("doc_id", "text").write.mode("append").parquet(in)
+    runBatch() // unrelated batch fires the expiry for 'hello world'
+    Seq(("c", "hello world")).toDF("doc_id", "text").write.mode("append").parquet(in)
+    runBatch()
+    val rows = spark.read.parquet(out).as[(String, String)].collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == Seq("a", "b", "c"),
+      s"service-shape dedup must expire and re-admit; got ${rows.toSeq}")
+  }
+
   test("windowed throughput aggregation shape") {
     import spark.implicits._
     val events = Seq(
