@@ -75,14 +75,34 @@ object Extractor {
     * contribute ONE "\n"-joined element; single-column pages contribute one
     * element PER non-empty block; elements joined "\n\n". */
   def mergeResults(docId: String, pages: Seq[PageResult]): DocResult = {
-    val allText = pages.flatMap { page =>
+    // One StringBuilder pass (r4): the declarative flatMap/collect/mkString
+    // form allocated an intermediate text list per page plus a full-doc
+    // element list before the final join — a measured hot frame on giant
+    // docs. Semantics preserved exactly, including the quirk that a
+    // column-processed page with zero non-empty blocks contributes one
+    // EMPTY element (so its "\n\n" separators still appear), while a
+    // single-column empty page contributes nothing.
+    val sb = new java.lang.StringBuilder
+    var firstElem = true
+    def sep(): Unit = { if (!firstElem) sb.append("\n\n"); firstElem = false }
+    pages.foreach { page =>
       if (page.column_processed) {
-        Seq(page.text_blocks.collect { case b if b.text != null && b.text.nonEmpty => b.text }.mkString("\n"))
+        sep()
+        var firstLine = true
+        page.text_blocks.foreach { b =>
+          if (b.text != null && b.text.nonEmpty) {
+            if (!firstLine) sb.append('\n')
+            sb.append(b.text)
+            firstLine = false
+          }
+        }
       } else {
-        page.text_blocks.collect { case b if b.text != null && b.text.nonEmpty => b.text }
+        page.text_blocks.foreach { b =>
+          if (b.text != null && b.text.nonEmpty) { sep(); sb.append(b.text) }
+        }
       }
     }
-    val mergedText = allText.mkString("\n\n")
+    val mergedText = sb.toString
     DocResult(
       doc_id = docId,
       text = mergedText,

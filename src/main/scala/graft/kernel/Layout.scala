@@ -25,9 +25,20 @@ object Layout {
   def classifyBlocks(page: PageResult): PageResult = {
     val headerThreshold = page.height * 0.05
     val footerThreshold = page.height * 0.95
-    page.copy(text_blocks = page.text_blocks.map { b0 =>
-      val afterTitle = if (b0.font_size.exists(_ > 14)) "title" else b0.block_type
-      var t = afterTitle
+    // copy-on-write over an indexed view (r4): pages where nothing
+    // classifies (the common case) keep their block array untouched; a page
+    // with reclassified blocks materializes ONE flat array — no Vector
+    // rebuild either way
+    val blocks: IndexedSeq[TextBlock] = page.text_blocks match {
+      case is: IndexedSeq[TextBlock] => is
+      case s => s.toIndexedSeq
+    }
+    val n = blocks.length
+    var out: Array[TextBlock] = null
+    var i = 0
+    while (i < n) {
+      val b0 = blocks(i)
+      var t = if (b0.font_size.exists(_ > 14)) "title" else b0.block_type
       if (b0.hasBBox) {
         val yTop = b0.bbox(1); val yBottom = b0.bbox(3)
         val blockHeight = yBottom - yTop
@@ -40,8 +51,18 @@ object Layout {
           }
         }
       }
-      if (t == b0.block_type) b0 else b0.copy(block_type = t)
-    })
+      if (t != b0.block_type) {
+        if (out == null) {
+          out = new Array[TextBlock](n)
+          var j = 0
+          while (j < i) { out(j) = blocks(j); j += 1 }
+        }
+        out(i) = b0.copy(block_type = t)
+      } else if (out != null) out(i) = b0
+      i += 1
+    }
+    if (out == null) page
+    else page.copy(text_blocks = scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
   }
 
   /** Title detection: font_size > 14 (reference: layout_processor.py:42-49). */
@@ -321,8 +342,8 @@ object Layout {
   /** Equal-width column assignment by block center x; no-bbox blocks go to
     * column 0; centers on/after the right edge also land in column 0 (the
     * reference's loop default — layout_processor.py:299-334). */
-  def assignBlocksToColumns(page: PageResult, columnCount: Int): Vector[Vector[TextBlock]] = {
-    val columns = Array.fill(columnCount)(Vector.newBuilder[TextBlock])
+  def assignBlocksToColumns(page: PageResult, columnCount: Int): IndexedSeq[IndexedSeq[TextBlock]] = {
+    val columns = Array.fill(columnCount)(new scala.collection.mutable.ArrayBuffer[TextBlock])
     val columnWidth = page.width / columnCount
     val boundaries = (0 until columnCount).map(i => (i * columnWidth, (i + 1) * columnWidth))
     page.text_blocks.foreach { b =>
@@ -340,36 +361,37 @@ object Layout {
         columns(col) += b.copy(column_id = col)
       }
     }
-    columns.map(_.result()).toVector
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      columns.map(c => scala.collection.immutable.ArraySeq.unsafeWrapArray(c.toArray): IndexedSeq[TextBlock]))
   }
 
   /** Stable sort by a double key without boxed Ordering (java TimSort +
     * Comparator.comparingDouble — the boxed sortBy comparator was a top
     * self-frame in stack samples; Double.compare semantics identical). */
-  private def sortByDoubleKey(blocks: scala.collection.Seq[TextBlock], key: TextBlock => Double): Vector[TextBlock] = {
+  private def sortByDoubleKey(blocks: scala.collection.Seq[TextBlock], key: TextBlock => Double): IndexedSeq[TextBlock] = {
     val arr = blocks.toArray
     java.util.Arrays.sort(arr, java.util.Comparator.comparingDouble((b: TextBlock) => key(b)))
-    arr.toVector
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
   }
 
   /** Per-column sort by y-top; missing bbox sorts as 0
     * (reference: layout_processor.py:336-345). Stable, like Python sorted. */
-  def sortBlocksInColumns(columns: Seq[Seq[TextBlock]]): Vector[Vector[TextBlock]] =
-    columns.map(c => sortByDoubleKey(c, b => if (b.hasBBox) b.bbox(1) else 0.0)).toVector
+  def sortBlocksInColumns(columns: Seq[Seq[TextBlock]]): IndexedSeq[IndexedSeq[TextBlock]] =
+    columns.iterator.map(c => sortByDoubleKey(c, b => if (b.hasBBox) b.bbox(1) else 0.0)).toIndexedSeq
 
   /** Reading-order merge: k=2 row-by-row, k!=2 concatenate columns
     * left-to-right (reference: layout_processor.py:347-366). */
-  def mergeColumnsInReadingOrder(sortedColumns: Seq[Seq[TextBlock]]): Vector[TextBlock] = {
+  def mergeColumnsInReadingOrder(sortedColumns: Seq[Seq[TextBlock]]): IndexedSeq[TextBlock] = {
     if (sortedColumns.isEmpty) Vector.empty
     else if (sortedColumns.length == 2) mergeColumnsRowByRow(sortedColumns)
-    else sortedColumns.flatten.toVector
+    else sortedColumns.iterator.flatten.toIndexedSeq
   }
 
   /** Row-by-row merge for two columns: greedy 20px row anchors (first-seen
     * wins), per row left-column blocks then right-column blocks, row sorted
     * by x (reference: layout_processor.py:368-426). Blocks within 20px of two
     * anchors are duplicated — a reference quirk we replicate. */
-  def mergeColumnsRowByRow(sortedColumns: Seq[Seq[TextBlock]]): Vector[TextBlock] = {
+  def mergeColumnsRowByRow(sortedColumns: Seq[Seq[TextBlock]]): IndexedSeq[TextBlock] = {
     if (sortedColumns.length != 2) return Vector.empty
     val left = sortedColumns(0)
     val right = sortedColumns(1)
@@ -377,7 +399,7 @@ object Layout {
     var nY = 0
     left.foreach(b => if (b.hasBBox) nY += 1)
     right.foreach(b => if (b.hasBBox) nY += 1)
-    if (nY == 0) return (left ++ right).toVector
+    if (nY == 0) return (left.iterator ++ right.iterator).toIndexedSeq
     val allY = new Array[Double](nY)
     var yi = 0
     left.foreach(b => if (b.hasBBox) { allY(yi) = b.bbox(1); yi += 1 })
@@ -386,12 +408,15 @@ object Layout {
 
     // greedy unique rows, first-seen anchor wins (layout_processor.py:393-405);
     // anchors emerge in ascending order from the sorted scan, so the final
-    // re-sort of the Seq form is the identity here
-    var uniqueRows = Vector.empty[Double]
+    // re-sort of the Seq form is the identity here. Because both the scan
+    // and the anchor list ascend, a candidate y can only be within tolerance
+    // of the LAST anchor (any earlier anchor is farther below y) — one
+    // comparison replaces the linear exists (r4).
+    val uniqueRows = new scala.collection.mutable.ArrayBuffer[Double](nY)
     var ui = 0
     while (ui < nY) {
       val y = allY(ui)
-      if (!uniqueRows.exists(e => math.abs(y - e) <= rowTolerance)) uniqueRows :+= y
+      if (uniqueRows.isEmpty || y - uniqueRows(uniqueRows.length - 1) > rowTolerance) uniqueRows += y
       ui += 1
     }
 
@@ -401,7 +426,7 @@ object Layout {
     // reference's duplicate quirk (layout_processor.py:410-424) preserved.
     val leftArr = left.filter(_.hasBBox).toArray
     val rightArr = right.filter(_.hasBBox).toArray
-    val out = Vector.newBuilder[TextBlock]
+    val out = new scala.collection.mutable.ArrayBuffer[TextBlock](leftArr.length + rightArr.length)
     var ls = 0; var rs = 0
     val row = scala.collection.mutable.ArrayBuffer.empty[TextBlock]
     uniqueRows.foreach { rowY =>
@@ -414,7 +439,7 @@ object Layout {
       while (i < rightArr.length && rightArr(i).bbox(1) <= rowY + rowTolerance) { row += rightArr(i); i += 1 }
       out ++= sortByDoubleKey(row, b => if (b.hasBBox) b.bbox(0) else 0.0)
     }
-    out.result()
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
   }
 
   /** Multi-column detect + reorder (reference: layout_processor.py:198-222). */

@@ -260,7 +260,7 @@ object Parse {
     * gives every offset a distinct top, so the reference's run-change
     * grouping (pdf_processor.py:234-257) never merges across spans — see
     * ParseEquivalenceSpec for the cross-validation against the generic path. */
-  def extractTextObjectsFast(textSpans: Seq[Span], pageWidth: Double): Vector[TextBlock] = {
+  def extractTextObjectsFast(textSpans: scala.collection.Seq[Span], pageWidth: Double): IndexedSeq[TextBlock] = {
     // text(a,b).trim.nonEmpty without the String+trim allocs: String.trim
     // strips chars <= ' ', so non-empty-after-trim == any char > ' '
     def hasVisible(run: CharRun, a: Int, b: Int): Boolean = {
@@ -268,7 +268,10 @@ object Parse {
       while (i < b) { if (run.chars(i) > ' ') return true; i += 1 }
       false
     }
-    val out = Vector.newBuilder[TextBlock]
+    // array-backed page blocks (r4): the page's block list is mapped/copied
+    // by every downstream stage (classify, columns, clean) — a flat array
+    // makes those O(n) array walks instead of Vector tree rebuilds
+    val out = new scala.collection.mutable.ArrayBuffer[TextBlock](textSpans.length + 8)
     textSpans.foreach { span =>
       val run = deriveCharRun(span)
       if (run.length > 0) {
@@ -290,7 +293,7 @@ object Parse {
         }
       }
     }
-    out.result()
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
   }
 
   /** Group chars by running (fontname, size, top) key change — consecutive-run
@@ -448,7 +451,7 @@ object Parse {
 
   /** Ruling-line table extraction over a page's raw text lines (in stream
     * order). Separator-only lines (---+---) delimit nothing but are absorbed. */
-  def extractTablesLines(lineTexts: Seq[String]): Vector[TableDict] = {
+  def extractTablesLines(lineTexts: scala.collection.Seq[String]): Vector[TableDict] = {
     val out = Vector.newBuilder[TableDict]
     var rows = Vector.empty[Vector[String]]
     def flush(): Unit = {
@@ -518,35 +521,49 @@ object Parse {
   /** Parse one page's spans (any order; all on the same page). */
   def parsePage(pageNumber: Int, spans: Seq[Span], cfg: ExtractConfig): PageData = {
     val sorted = ensureSortedByOffset(spans)
-    val textSpans = sorted.filter(s => s.kind == null || s.kind != "image")
-    val imageSpans = sorted.filter(s => s.kind == "image")
-
+    // one pass (r4): the former two filters + a map built three intermediate
+    // collections per page; text spans, their line texts, and decoded images
+    // all fall out of a single walk
+    val textSpans = new scala.collection.mutable.ArrayBuffer[Span](sorted.length)
+    val lineTexts = new scala.collection.mutable.ArrayBuffer[String](sorted.length)
+    val images = new scala.collection.mutable.ArrayBuffer[ImageDict](4)
+    sorted.foreach { s =>
+      if (s.kind == "image") images += deriveImage(s)
+      else { textSpans += s; lineTexts += (if (s.text == null) "" else s.text) }
+    }
     val textObjects = extractTextObjectsFast(textSpans, PageWidth)
-    val images = imageSpans.map(deriveImage)
-    val tables = extractTablesLines(textSpans.map(s => if (s.text == null) "" else s.text))
-    PageData(pageNumber, PageWidth, PageHeight, textObjects, images.toVector, tables)
+    val tables = extractTablesLines(lineTexts)
+    PageData(pageNumber, PageWidth, PageHeight, textObjects,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(images.toArray), tables)
   }
 
   /** Split a doc's spans into offset-ordered pages. Single pass over the
     * offset-sorted stream (pageOf is monotone in offset, so page runs are
     * contiguous) — the former per-doc groupBy allocated a HashMap on the
     * hottest kernel path. */
-  def paginate(spans: Seq[Span]): Vector[(Int, Vector[Span])] = {
+  def paginate(spans: Seq[Span]): IndexedSeq[(Int, IndexedSeq[Span])] = {
     if (spans.isEmpty) return Vector.empty
     val sorted = ensureSortedByOffset(spans)
-    val out = Vector.newBuilder[(Int, Vector[Span])]
-    var cur = Vector.newBuilder[Span]
-    var curPage = pageOf(sorted.head.offset)
-    sorted.foreach { s =>
-      val p = pageOf(s.offset)
+    // array-backed page slices (r4): pages are contiguous runs of the
+    // offset-sorted stream, so each page is a flat array slice — no
+    // per-span Vector builder churn on the hottest kernel entry
+    val arr = sorted.toArray
+    def slice(a: Int, b: Int): IndexedSeq[Span] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(java.util.Arrays.copyOfRange(arr, a, b))
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, IndexedSeq[Span])](8)
+    var start = 0
+    var curPage = pageOf(arr(0).offset)
+    var i = 1
+    while (i < arr.length) {
+      val p = pageOf(arr(i).offset)
       if (p != curPage) {
-        out += ((curPage, cur.result()))
-        cur = Vector.newBuilder
+        out += ((curPage, slice(start, i)))
+        start = i
         curPage = p
       }
-      cur += s
+      i += 1
     }
-    out += ((curPage, cur.result()))
-    out.result()
+    out += ((curPage, slice(start, arr.length)))
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
   }
 }

@@ -117,26 +117,81 @@ object TextClean {
     (sb.toString, sawTerminator)
   }
 
+  /** Copy-on-write block map (r4): returns `page` ITSELF when f changes no
+    * block — the common case is an already-clean page, and rebuilding its
+    * block collection (plus the PageResult copy) per doc-level pass was
+    * measured allocation churn on the giant-doc path. */
+  private[kernel] def mapBlocksCow(page: PageResult)(f: TextBlock => TextBlock): PageResult = {
+    val blocks: IndexedSeq[TextBlock] = page.text_blocks match {
+      case is: IndexedSeq[TextBlock] => is
+      case s => s.toIndexedSeq
+    }
+    val n = blocks.length
+    var out: Array[TextBlock] = null
+    var i = 0
+    while (i < n) {
+      val b = blocks(i)
+      val nb = f(b)
+      if (nb ne b) {
+        if (out == null) {
+          out = new Array[TextBlock](n)
+          var j = 0
+          while (j < i) { out(j) = blocks(j); j += 1 }
+        }
+        out(i) = nb
+      } else if (out != null) out(i) = b
+      i += 1
+    }
+    if (out == null) page
+    else page.copy(text_blocks = scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+
+  /** Copy-on-write page map: returns `pages` itself when f changes no page. */
+  private[kernel] def mapPagesCow(pages: Seq[PageResult])(f: PageResult => PageResult): Seq[PageResult] = {
+    val ps: IndexedSeq[PageResult] = pages match {
+      case is: IndexedSeq[PageResult] => is
+      case s => s.toIndexedSeq
+    }
+    val n = ps.length
+    var out: Array[PageResult] = null
+    var i = 0
+    while (i < n) {
+      val p = ps(i)
+      val np = f(p)
+      if (np ne p) {
+        if (out == null) {
+          out = new Array[PageResult](n)
+          var j = 0
+          while (j < i) { out(j) = ps(j); j += 1 }
+        }
+        out(i) = np
+      } else if (out != null) out(i) = p
+      i += 1
+    }
+    if (out == null) pages
+    else scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
   def cleanText(result: DocResult): DocResult = {
     val hasMultiColumn = result.pages.exists(_.column_processed)
     if (hasMultiColumn) {
-      result.copy(pages = result.pages.map(p =>
-        p.copy(text_blocks = p.text_blocks.map { b =>
+      result.copy(pages = mapPagesCow(result.pages)(p =>
+        mapBlocksCow(p) { b =>
           if (b.text != null && b.text.nonEmpty) {
             val c = cleanLinePreserving(b.text)
             if (c eq b.text) b else b.copy(text = c)
           } else b
-        })))
+        }))
     } else {
       var anyTerminator = false // detected inside the cleaning pass, no extra scan
       var anyChanged = false // all blocks already clean -> merged text is too
-      val cleanedPages = result.pages.map(p =>
-        p.copy(text_blocks = p.text_blocks.map(b =>
+      val cleanedPages = mapPagesCow(result.pages)(p =>
+        mapBlocksCow(p)(b =>
           if (b.text != null && b.text.nonEmpty) {
             val (cleaned, saw) = cleanCore(b.text)
             if (saw) anyTerminator = true
             if (cleaned eq b.text) b else { anyChanged = true; b.copy(text = cleaned) }
-          } else b)))
+          } else b))
       // cleaned(join(blocks, "\n\n")) == join(cleaned blocks, "\n\n"):
       // cleaning is per-line and the join boundaries are newlines, so the
       // merged text is rebuilt from the already-cleaned blocks instead of
@@ -174,9 +229,13 @@ object TextClean {
     * (reference: text_processor.py:77-99 — the regeneration loop ends in
     * `pass`). */
   def removeHeadersFooters(result: DocResult): DocResult =
-    result.copy(pages = result.pages.map(p =>
-      p.copy(text_blocks = p.text_blocks.filterNot(b =>
-        b.block_type == "header" || b.block_type == "footer"))))
+    result.copy(pages = mapPagesCow(result.pages) { p =>
+      val hasBand = p.text_blocks.exists(b =>
+        b.block_type == "header" || b.block_type == "footer")
+      if (!hasBand) p // copy-on-write: most pages carry no bands
+      else p.copy(text_blocks = p.text_blocks.filterNot(b =>
+        b.block_type == "header" || b.block_type == "footer"))
+    })
 
   /** Identity stub (reference: text_processor.py:101-105). */
   def fixEncoding(result: DocResult): DocResult = result

@@ -417,10 +417,16 @@ object Queries {
       |  CAST(stop_hits AS INTEGER) AS stop_hits
       |FROM s""".stripMargin
 
-  private val qQualityScore: Q = (spark, sfDir) =>
-    doc(spark, sfDir).select(
-      col("doc_id"),
-      TextOps.qualityScore(col("text")).as("quality"))
+  private val qQualityScore: Q = (spark, sfDir) => {
+    import spark.implicits._
+    // kernel twin (precedent q22/q39): identical values to the Column form
+    // [[TextOps.qualityScore]] (which remains the declarative API), one
+    // text pass instead of two regexp_replaces + a HOF filter per row —
+    // and bench-stable across windows (VERDICT r03 #1)
+    doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, TextOps.qualityScoreKernel(t)) })
+      .toDF("doc_id", "quality")
+  }
   private val oQualityScore =
     """WITH s AS (SELECT doc_id, trim(text) AS t FROM documents),
       |m AS (SELECT doc_id,

@@ -148,6 +148,21 @@ class PlanSpec extends AnyFunSuite {
     assert(graft.ops.Tokenize.countText("The thex zzq") == 6L)
   }
 
+  test("qualityScore kernel twin agrees with the Column form (corpus + edges)") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
+    val colVals = df.select(col("doc_id"), graft.ops.TextOps.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val kernelVals = df.as[(Long, String)].collect()
+      .map { case (id, t) => id -> graft.ops.TextOps.qualityScoreKernel(t) }.toMap
+    assert(colVals == kernelVals, "kernel twin diverged from the Column form on the corpus")
+    val edges = Seq("", "   ", "a", "the the the of of", "x." * 200, "word " * 50 + "end.")
+    val colEdge = edges.toDF("text")
+      .select(graft.ops.TextOps.qualityScore(col("text")).as("q")).as[Double].collect().toSeq
+    assert(colEdge == edges.map(graft.ops.TextOps.qualityScoreKernel),
+      s"edge-case divergence: column=$colEdge kernel=${edges.map(graft.ops.TextOps.qualityScoreKernel)}")
+  }
+
   test("file-backed subword vocabulary: committed resource loads; file grammar parsed") {
     // the committed demo vocab resource is the default (60 entries, 'the'
     // present, every entry >= 2 code points)
