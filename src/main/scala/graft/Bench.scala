@@ -44,6 +44,17 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // extraction legs: fine input splits so the narrow mapPartitions stage
+    // gets full parallelism (the corpus parquet is a few hundred MB — the
+    // 128 MB default packs it into a handful of read partitions and
+    // starves local[32]; identical to the ScalingBench protocol config).
+    // Dynamic conf, restored after, so the 49 query timings above keep
+    // their cross-round comparability.
+    val prevSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1m")
+
     // extraction throughput on the span corpus derived from documents.parquet
     val t0 = System.nanoTime()
     val stats = graft.pipeline.Extract
@@ -68,6 +79,12 @@ object Bench {
         .write.mode("overwrite").parquet(sustainedDir)
     }
     val sustainedIn = spark.read.parquet(sustainedDir)
+    // shipped config: byte-budgeted batch size + corpus-adaptive split size
+    val prevBatch = spark.conf.get("spark.sql.parquet.columnarReaderBatchSize")
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+      graft.io.TableIO.autoBatchSize(sustainedIn).toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      graft.io.TableIO.autoSplitBytes(sustainedDir, cpus.toInt).toString)
     // JIT warmup (same plan, small slice), then the timed full pass
     graft.pipeline.Extract.extractContract(sustainedIn.limit(1500)).selectExpr("count(*)").collect()
     val s0 = System.nanoTime()
@@ -77,6 +94,77 @@ object Bench {
       .collect()(0)
     val sSec = (System.nanoTime() - s0) / 1e9
     val sDocs = sStats.getLong(0); val sPages = sStats.getLong(1); val sSpans = sStats.getLong(2)
+
+    // managed-input leg (r4 headline — the at-scale layout): the same 40k
+    // corpus rewritten once UNTIMED via TableIO.writeContractInput (pushable
+    // n_spans stats column, size-clustered 8 MB row groups), then the timed
+    // contract pass reads it through extractContractFromTable with the
+    // byte-budgeted batch size derived from the table's own stats.
+    val managedDir = sustainedDir.stripSuffix("/") + "_managed"
+    // row-group size adapted to the corpus: readers cannot split inside a
+    // row group, so a small size-clustered (well-compressed) table at the
+    // 8 MB default yields too few row groups for full scan parallelism
+    val managedBlock = math.max(1L << 20, math.min(8L << 20,
+      graft.io.TableIO.autoSplitBytes(sustainedDir, 512, 1)))
+    graft.io.TableIO.writeContractInput(sustainedIn, managedDir, blockBytes = managedBlock)
+    val managedBatch = graft.io.TableIO.autoBatchSize(spark.read.parquet(managedDir))
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", managedBatch.toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      graft.io.TableIO.autoSplitBytes(managedDir, cpus.toInt).toString)
+    graft.pipeline.Extract.extractContractFromTable(spark, managedDir)
+      .limit(1500).selectExpr("count(*)").collect() // JIT/codegen warmup
+    val m0 = System.nanoTime()
+    val mStats = graft.pipeline.Extract.extractContractFromTable(spark, managedDir)
+      .filter(!org.apache.spark.sql.functions.col("quarantined"))
+      .selectExpr("count(*) AS docs", "sum(num_pages) AS pages", "sum(coalesce(size(spans),0)) AS spans")
+      .collect()(0)
+    val mSec = (System.nanoTime() - m0) / 1e9
+    val mDocs = mStats.getLong(0); val mPages = mStats.getLong(1); val mSpans = mStats.getLong(2)
+    // skew-prune A/B (r4): raw vs managed on a corpus whose giants are rare
+    // BY BYTES (1-in-1000 docs) — the at-scale skew profile. With the skew
+    // threshold below the giant size, the raw path's second (giant-leg) scan
+    // must re-DECODE the whole corpus (`size(spans)` cannot reach the
+    // parquet reader), while the managed table's `n_spans` predicate
+    // row-group-prunes it to the giant groups only. The standard 1-in-20
+    // bench mix cannot show this (giants are 84% of its bytes). Same corpus,
+    // same threshold, both timed identically.
+    val pruneDir = sustainedDir.stripSuffix("/") + "_prune"
+    locally {
+      import spark.implicits._
+      spark.createDataset(graft.fixtures.Fixtures.corpusIdsRareGiants(40000))
+        .repartition(128)
+        .map(graft.fixtures.Fixtures.gen _)
+        .write.mode("overwrite").parquet(pruneDir)
+    }
+    val pruneManagedDir = pruneDir + "_managed"
+    val pruneIn = spark.read.parquet(pruneDir)
+    graft.io.TableIO.writeContractInput(pruneIn, pruneManagedDir,
+      blockBytes = math.max(1L << 20, math.min(8L << 20,
+        graft.io.TableIO.autoSplitBytes(pruneDir, 512, 1))))
+    val pruneThreshold = 128 * graft.kernel.Parse.SpansPerPage
+    def timedCount(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      df.limit(1000).selectExpr("count(*)").collect() // codegen warmup
+      val t = System.nanoTime()
+      val n = df.filter(!org.apache.spark.sql.functions.col("quarantined"))
+        .selectExpr("count(*) AS n", "sum(num_pages)").collect()(0).getLong(0)
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      graft.io.TableIO.autoSplitBytes(pruneDir, cpus.toInt).toString)
+    val (rawPruneSec, rawPruneDocs) = timedCount(
+      graft.pipeline.Extract.extractContract(pruneIn, skewSpanThreshold = pruneThreshold))
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+      graft.io.TableIO.autoBatchSize(spark.read.parquet(pruneManagedDir)).toString)
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      graft.io.TableIO.autoSplitBytes(pruneManagedDir, cpus.toInt).toString)
+    val (mgdPruneSec, mgdPruneDocs) = timedCount(
+      graft.pipeline.Extract.extractContractFromTable(spark, pruneManagedDir,
+        skewSpanThreshold = pruneThreshold))
+    require(rawPruneDocs == mgdPruneDocs, s"skew-prune doc counts diverged: $rawPruneDocs vs $mgdPruneDocs")
+
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prevBatch)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
+    spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
 
     // clean up the temp corpus — it leaked ~per-run disk otherwise (ADVICE r02)
     locally {
@@ -97,6 +185,10 @@ object Bench {
       s""""docs_per_sec":${docs / extractSec},"pages_per_sec":${pages / extractSec}},""" +
       s""""extract_sustained":{"sec":$sSec,"docs":$sDocs,"pages":$sPages,"spans":$sSpans,""" +
       s""""docs_per_sec":${sDocs / sSec},"pages_per_sec":${sPages / sSec}},""" +
+      s""""extract_managed":{"sec":$mSec,"docs":$mDocs,"pages":$mPages,"spans":$mSpans,""" +
+      s""""docs_per_sec":${mDocs / mSec},"pages_per_sec":${mPages / mSec},"batch":$managedBatch},""" +
+      s""""skew_prune":{"raw_sec":$rawPruneSec,"managed_sec":$mgdPruneSec,"docs":$rawPruneDocs,""" +
+      s""""managed_speedup":${rawPruneSec / mgdPruneSec}},""" +
       s""""cpus":$cpus}""")
     spark.stop()
   }

@@ -33,8 +33,10 @@ object ScalingBench {
       // batchSize, and 1-in-20 giant docs dominate bytes — 64-row batches
       // keep giant batches ~20 MB/task (512 rows was ~150 MB -> GC churn;
       // the 4096 default also thrashed child-vector reserve()/realloc)
+      // numeric placeholder; "auto" (or unset) is resolved per-corpus by
+      // applyBatchSize before any timed work
       .config("spark.sql.parquet.columnarReaderBatchSize",
-        sys.env.getOrElse("SPARK_GRAFT_BATCH", "64"))
+        sys.env.get("SPARK_GRAFT_BATCH").filter(_.forall(_.isDigit)).getOrElse("64"))
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -42,6 +44,21 @@ object ScalingBench {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  /** Columnar batch size for `path`: an explicit integer SPARK_GRAFT_BATCH
+    * pins it (A/B runs); unset or "auto" derives the byte-budgeted size from
+    * the corpus itself (TableIO.autoBatchSize — VERDICT r03 #3: the shipped
+    * config must not hardcode the row count the skew profile happens to
+    * need). Applied via dynamic conf BEFORE any timed work. */
+  private def applyBatchSize(spark: SparkSession, path: String): Int = {
+    val b = sys.env.get("SPARK_GRAFT_BATCH").filter(_ != "auto").map(_.toInt).getOrElse {
+      val auto = graft.io.TableIO.autoBatchSize(spark.read.parquet(path))
+      System.err.println(s"[scaling] auto columnarReaderBatchSize=$auto")
+      auto
+    }
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", b.toString)
+    b
   }
 
   final case class RunStats(cores: Int, wallSec: Double, docs: Long, pages: Long, spans: Long,
@@ -55,6 +72,7 @@ object ScalingBench {
     val spark = session(cores)
     import spark.implicits._
     try {
+      applyBatchSize(spark, corpusPath)
       val docs = spark.read.parquet(corpusPath)
       // JIT/codegen warmup outside the timed region (same plan, small slice,
       // two passes so the kernel tiers up to C2 before the clock starts)
@@ -127,8 +145,15 @@ object ScalingBench {
           catch { case _: Throwable => false }
         }
         if (!reusable) {
-          graft.io.TableIO.writeContractInput(rawDf, statsPath)
+          // row-group size adapted to the corpus (readers cannot split
+          // inside a row group — see TableIO.writeContractInput scaladoc)
+          val block = math.max(1L << 20, math.min(8L << 20,
+            graft.io.TableIO.autoSplitBytes(rawPath, 512, 1)))
+          graft.io.TableIO.writeContractInput(rawDf, statsPath, blockBytes = block)
         }
+        applyBatchSize(spark, statsPath)
+        spark.conf.set("spark.sql.files.maxPartitionBytes",
+          graft.io.TableIO.autoSplitBytes(statsPath, cores).toString)
         graft.pipeline.Extract.extractContractFromTable(spark, statsPath,
           skewSpanThreshold = 512 * graft.kernel.Parse.SpansPerPage)
           .selectExpr("count(*)").collect() // warmup

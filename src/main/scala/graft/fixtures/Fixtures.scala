@@ -227,4 +227,15 @@ object Fixtures {
     }
 
   def corpus(n: Int): IndexedSeq[RawDoc] = corpusIds(n).map(gen)
+
+  /** A corpus where giants are RARE BY BYTES (1-in-`giantEvery` docs, no
+    * broken docs): the at-scale skew profile where size-stats row-group
+    * pruning pays. The standard 1-in-20 mix above makes giants ~84% of
+    * corpus BYTES — there a pruned second scan saves almost nothing, which
+    * says nothing about the 100-TB case where giants are a thin tail. */
+  def corpusIdsRareGiants(n: Int, giantEvery: Int = 1000): IndexedSeq[String] =
+    (0 until n).map { i =>
+      val a = if (i % giantEvery == giantEvery - 1) "skewed_giant" else Archetypes(i % 5)
+      docId(a, i)
+    }
 }

@@ -54,12 +54,19 @@ object Extract {
       : Dataset[(String, Int, Seq[Span])] = {
     val spark = big.sparkSession
     import spark.implicits._
-    val units = big.flatMap { d =>
+    val parallelism = if (pageParallelism > 0) pageParallelism
+      else spark.sparkContext.defaultParallelism
+    // Spread the giant DOCS before exploding: the per-page explode+encode of
+    // a giant is the expensive step, and an input layout that CLUSTERS
+    // giants (the size-clustered managed table; any size-partitioned
+    // warehouse table) would otherwise serialize it onto the few scan tasks
+    // owning those clusters (measured 12.3 s vs 1.2 s for 40 co-located
+    // giants at local[32]). One extra shuffle, bounded by the giant TAIL's
+    // bytes — the narrow leg carries the corpus body untouched.
+    val units = big.repartition(parallelism, col("doc_id")).flatMap { d =>
       val spans = if (d.spans == null) Seq.empty[Span] else d.spans.filter(_ != null)
       Parse.paginate(spans).map { case (p, ss) => (d.doc_id, p, ss) }
     }.toDF("doc_id", "page_no", "page_spans")
-    val parallelism = if (pageParallelism > 0) pageParallelism
-      else spark.sparkContext.defaultParallelism
     units.repartition(parallelism, col("doc_id"), col("page_no"))
       .as[(String, Int, Seq[Span])]
   }

@@ -6,7 +6,12 @@ cd "$(dirname "$0")/.."
 NDOCS=${1:-160000}
 CORPUS=target/scaling_corpus.parquet
 export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-16g}
-export SPARK_GRAFT_JVM_OPTS="${SPARK_GRAFT_JVM_OPTS:--XX:+AlwaysPreTouch}"
+# GC threads pinned to box cores at EVERY level: dynamic GC-thread
+# ergonomics key on app thread count — a single-JVM emulation artifact with
+# no cluster counterpart (each executor owns its GC). See BENCH/BASELINE.md.
+export SPARK_GRAFT_JVM_OPTS="${SPARK_GRAFT_JVM_OPTS:--XX:+AlwaysPreTouch -XX:ParallelGCThreads=32}"
+# byte-budgeted columnar batch size derived from the corpus (TableIO.autoBatchSize)
+export SPARK_GRAFT_BATCH=${SPARK_GRAFT_BATCH:-auto}
 # -Xms == -Xmx comes from build.sbt (pinned heap; growth-zeroing otherwise
 # lands inside the timed region and costs ~2x wall at local[32])
 echo "== gen $NDOCS docs"
