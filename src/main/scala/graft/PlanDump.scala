@@ -28,7 +28,7 @@ object PlanDump extends App {
      "The scan the ExistingRDD leaf wraps: doc_id + spans only (pruned ReadSchema), whole-stage codegen to the kernel boundary, zero shuffle.",
      spark.read.parquet(corpusPath).select(col("doc_id").cast("string").as("doc_id"), col("spans"))),
     ("q44 per-language quartiles (scale-safe two-pass ranking)",
-     "VERDICT r02 fix: no Window over a whole language stratum. Range-repartition on the total order, tiny per-(lang,partition) count table with running offsets (broadcast back), per-partition row_number + offset = exact global rank, ntile arithmetic from the rank. The widest sort any task performs is ONE range partition's slice.",
+     "VERDICT r02 fix: no Window over a whole language stratum. Range-repartition on the total order, tiny per-(lang,partition) count table with running offsets (broadcast back), per-partition row_number + offset = exact global rank, ntile arithmetic from the rank. The widest sort any task performs is ONE range partition's slice. r4 (VERDICT r03 #4): the range partitioning is localCheckpoint'ed, so BOTH consumers read the same materialized `Scan ExistingRDD[lang,n_chars,doc_id,pid]` — no rangepartitioning Exchange appears anywhere in the plan, and pid consistency is physical, not a sampler-determinism assumption.",
      ops.Queries.all("q44_length_quartiles")(spark, sf)),
     ("q16 aggregation", "Pruned ReadSchema (4 columns of lineitem), partial+final HashAggregate.",
      ops.Queries.all("q16_agg_pushdown")(spark, sf)),
