@@ -40,4 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // pause targeting cost ~2x wall at 32 threads (measured in ScaleProbe).
   // On a real cluster: spark.executor.extraJavaOptions=-XX:+UseParallelGC.
   "-XX:+UseParallelGC",
+  // pin GC threads to the box's cores: JDK dynamic GC-thread ergonomics key
+  // on the APPLICATION thread count, so a local[N<cores] run silently gets
+  // a fraction of the GC capacity a real cluster owns per executor —
+  // measured -27% wall at local[8] (see BENCH/BASELINE.md r4)
+  s"-XX:ParallelGCThreads=${java.lang.Runtime.getRuntime.availableProcessors}",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -1109,6 +1109,58 @@ object Queries {
       |  coalesce(m.n_matched, 0) > 0 AS contaminated
       |FROM sh s LEFT JOIN matched m ON s.doc_id = m.doc_id""".stripMargin
 
+  /** Duplicate-CLUSTER resolution (round-4, [[Dedup]]): MinHash-LSH star
+    * edges -> iterative min-label connected components -> one row per
+    * near-dup cluster. The corpus has no natural near-dups, so (q47
+    * precedent) deterministic variants are woven in: docs 0-39 each gain
+    * two suffix-mutated copies at +1e6/+2e6 — the clusters the operator
+    * must find span base + both variants TRANSITIVELY even when the two
+    * variants only band-collide with the base, not each other. The oracle
+    * replays the identical md5 minhash stream, banding, star edges, and a
+    * recursive-CTE transitive closure. */
+  private val qDedupClusters: Q = (spark, sfDir) => {
+    val base = doc(spark, sfDir).select(col("doc_id"), col("text"))
+    val dups = base.filter(col("doc_id") < 40)
+    val corpus = base
+      .unionByName(dups.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" dupa")).as("text")))
+      .unionByName(dups.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" dupa dupb")).as("text")))
+    Dedup.dedupClusters(corpus)
+  }
+  private val oDedupClusters = {
+    val hashes = (0 until 8).map { i =>
+      s"""(SELECT min(('0x' || substr(md5(w || '#$i'), 1, 8))::BIGINT)
+         | FROM unnest(s) AS t(w))""".stripMargin
+    }
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text || ' dupa' FROM documents WHERE doc_id < 40
+       |  UNION ALL SELECT doc_id + 2000000, text || ' dupa dupb' FROM documents WHERE doc_id < 40),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(string_split(lower(trim(text)), ' ')) < 3
+       |    THEN [array_to_string(string_split(lower(trim(text)), ' '), ' ')]
+       |    ELSE list_transform(range(0, len(string_split(lower(trim(text)), ' ')) - 2),
+       |      i -> array_to_string(string_split(lower(trim(text)), ' ')[i+1:i+3], ' ')) END) AS s
+       |  FROM corpus),
+       |sigs AS (SELECT doc_id, ${hashes.zipWithIndex.map { case (h, i) => s"$h AS h$i" }.mkString(", ")}
+       |FROM sh),
+       |bands AS (
+       |${(0 until 4).map(b => s"SELECT doc_id, $b AS band, md5(CAST(h${2 * b} AS VARCHAR) || ',' || CAST(h${2 * b + 1} AS VARCHAR)) AS band_key FROM sigs").mkString("\nUNION ALL\n")}),
+       |hubs AS (SELECT band, band_key, min(doc_id) AS dst FROM bands GROUP BY band, band_key),
+       |edges AS (SELECT DISTINCT b.doc_id AS src, h.dst FROM bands b
+       |  JOIN hubs h ON b.band = h.band AND b.band_key = h.band_key
+       |  WHERE b.doc_id <> h.dst),
+       |sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |reach(a, b) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src),
+       |labels AS (SELECT a AS doc_id, min(b) AS root FROM reach GROUP BY a)
+       |SELECT root AS cluster_root, CAST(count(*) AS BIGINT) AS n_docs, max(doc_id) AS max_doc_id
+       |FROM labels GROUP BY root""".stripMargin
+  }
+
   // -------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1160,7 +1212,8 @@ object Queries {
     "q46_subword_tokenize" -> qSubwordTokenize,
     "q47_pii_scrub" -> qPiiScrub,
     "q48_chunk_windows" -> qChunkWindows,
-    "q49_decontaminate" -> qDecontaminate
+    "q49_decontaminate" -> qDecontaminate,
+    "q50_dedup_clusters" -> qDedupClusters
   )
 
   val oracles: Map[String, String] = Map(
@@ -1212,6 +1265,7 @@ object Queries {
     "q46_subword_tokenize" -> oSubwordTokenize,
     "q47_pii_scrub" -> oPiiScrub,
     "q48_chunk_windows" -> oChunkWindows,
-    "q49_decontaminate" -> oDecontaminate
+    "q49_decontaminate" -> oDecontaminate,
+    "q50_dedup_clusters" -> oDedupClusters
   )
 }

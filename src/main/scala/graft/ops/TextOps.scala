@@ -312,6 +312,30 @@ object TextOps {
     s
   }
 
+  /** k minhash values over the distinct word n-SHINGLES of `text` (same
+    * md5-derived hash32 stream as [[minhashSigKernel]], but the set being
+    * sketched is shingles, not unigrams). Unigram-set minhash degenerates
+    * when the vocabulary is small relative to doc length — every doc
+    * converges to the full vocabulary set and everything collides (measured:
+    * one 580-doc mega-cluster on the synthetic corpus); shingles keep the
+    * set space large. This is the Broder-resemblance construction as
+    * actually deployed (shingled documents). */
+  def minhashShingleSigKernel(text: String, n: Int, k: Int): Array[Long] = {
+    val sh = wordShinglesKernel(text, n)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < k) {
+        val h = hash32Kernel(sh(i) + "#" + j)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   /** Spark-round twin exposed for other kernel callers. */
   def round6Kernel(x: Double): Double = roundK(x, 6)
 

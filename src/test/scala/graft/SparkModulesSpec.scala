@@ -320,6 +320,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count(_._1 == helloFp) == 2, "the expired fingerprint must appear twice")
   }
 
+  test("connected components: transitive clusters from star edges, deterministic roots") {
+    import spark.implicits._
+    // two components: {1,2,3,7} via chain 3-1, 2-1, 7-3 (transitively joins
+    // through 3) and {10,11}; node 20 isolated (absent from edges)
+    val edges = Seq((3L, 1L), (2L, 1L), (7L, 3L), (11L, 10L)).toDF("src", "dst")
+    val cc = graft.ops.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L), s"got $cc")
+    // cluster summary shape
+    val clusters = graft.ops.Dedup.dedupClusters(
+      Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (5L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (9L, "totally different words with no overlap at all here")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(clusters.toSeq == Seq((0L, 2L, 5L)), s"identical docs must cluster: ${clusters.toSeq}")
+  }
+
   test("decontaminate: two independent tables, eval side broadcast") {
     import spark.implicits._
     val corpus = Seq(
