@@ -148,6 +148,20 @@ class PlanSpec extends AnyFunSuite {
     assert(graft.ops.Tokenize.countText("The thex zzq") == 6L)
   }
 
+  test("q50 dedup-cluster edges: no pair materialization, no cartesian, hub join aggregated") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
+    val edges = graft.ops.Dedup.lshCandidateEdges(docs)
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "candidate edges must never cross-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "candidate edges must never nested-loop")
+    // star-edge shape: ONE aggregation derives the bucket hubs, then an
+    // equi-join on (band, band_key) — a bucket of m docs costs m-1 edge
+    // rows, never the m^2/2 pair explosion
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "hub derivation must be a partial+final agg")
+    assert(plan.contains("band_key"), "join must key on the LSH band hash")
+  }
+
   test("qualityScore kernel twin agrees with the Column form (corpus + edges)") {
     import spark.implicits._
     val df = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
