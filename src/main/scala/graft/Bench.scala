@@ -160,6 +160,11 @@ object Bench {
         .selectExpr("count(*) AS n", "sum(num_pages)").collect()(0).getLong(0)
       ((System.nanoTime() - t) / 1e9, n)
     }
+    // config symmetry (ADVICE r04): each leg gets the batch size derived
+    // from ITS OWN corpus — the raw leg must not inherit the managed
+    // table's batch setting
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
+      graft.io.TableIO.autoBatchSize(pruneIn).toString)
     spark.conf.set("spark.sql.files.maxPartitionBytes",
       graft.io.TableIO.autoSplitBytes(pruneDir, cpus.toInt).toString)
     val (rawPruneSec, rawPruneDocs) = timedCount(

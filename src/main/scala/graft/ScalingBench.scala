@@ -132,13 +132,18 @@ object ScalingBench {
         // Reuse the statted rewrite only if it was DERIVED FROM this raw
         // corpus: a stale dir from an earlier/different corpus would
         // silently bench the wrong input (ADVICE r03). Cheap validation —
-        // row count plus an order-independent doc_id checksum, both
-        // metadata/footer-level scans — else rewrite.
+        // row count, an order-independent doc_id checksum, AND a
+        // content-sensitive term (total span count + per-doc size-keyed
+        // hash) so a regenerated corpus with identical doc_ids but changed
+        // span content cannot pass (ADVICE r04); all still stats-level
+        // scans (size(spans) reads list lengths, not span bytes).
         val rawDf = spark.read.parquet(rawPath)
-        def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        def sig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
           val r = df.selectExpr("count(*) AS n",
-            "sum(cast(hash(doc_id) AS BIGINT)) AS chk").collect()(0)
-          (r.getLong(0), r.getLong(1))
+            "sum(cast(hash(doc_id) AS BIGINT)) AS chk",
+            "sum(cast(coalesce(size(spans), 0) AS BIGINT)) AS nsp",
+            "sum(cast(hash(doc_id, coalesce(size(spans), 0)) AS BIGINT)) AS szchk").collect()(0)
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
         }
         val reusable = java.nio.file.Files.exists(java.nio.file.Paths.get(statsPath)) && {
           try sig(spark.read.parquet(statsPath)) == sig(rawDf)

@@ -96,13 +96,29 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 /** Static-forwarder host for codegen (see [[NfcHelper]]). */
 object SubwordHelper {
   def count(s: UTF8String): Long = graft.ops.Tokenize.countText(s.toString)
+
+  /** Count with a vocabulary-checksum assertion: `expected` is the DRIVER's
+    * resolved-vocab fingerprint, serialized into the plan by
+    * [[SubwordCountExpr]]; a mismatch means this executor JVM resolved a
+    * DIFFERENT vocabulary (e.g. `-Dgraft.vocab.path`/GRAFT_VOCAB_PATH set
+    * only on the driver) — fail loudly rather than silently counting with
+    * the fallback resource (ADVICE r04). */
+  def countChecked(s: UTF8String, expected: Long): Long = {
+    if (expected != graft.ops.Tokenize.VocabChecksum)
+      throw new IllegalStateException(
+        s"subword vocabulary mismatch: driver checksum $expected vs this JVM's " +
+        s"${graft.ops.Tokenize.VocabChecksum} — set graft.vocab.path/GRAFT_VOCAB_PATH " +
+        "on executors too (spark-submit --files + spark.executorEnv)")
+    count(s)
+  }
 }
 
 /** Native Catalyst expression: real subword token count (greedy
   * longest-match over the committed vocabulary, graft.ops.Tokenize) as a
   * codegen'd expression — replaces the ceil(len/4) estimator the round-2
   * review flagged. Stays inside WholeStageCodegen via a static call. */
-case class SubwordCountExpr(child: Expression) extends UnaryExpression {
+case class SubwordCountExpr(child: Expression,
+    vocabChecksum: Long = graft.ops.Tokenize.VocabChecksum) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -110,9 +126,9 @@ case class SubwordCountExpr(child: Expression) extends UnaryExpression {
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"graft_subword_count expects STRING, got ${child.dataType.sql}")
   override def nullSafeEval(input: Any): Any =
-    SubwordHelper.count(input.asInstanceOf[UTF8String])
+    SubwordHelper.countChecked(input.asInstanceOf[UTF8String], vocabChecksum)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SubwordHelper.count($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SubwordHelper.countChecked($c, ${vocabChecksum}L)")
   override protected def withNewChildInternal(newChild: Expression): SubwordCountExpr =
     copy(child = newChild)
 }

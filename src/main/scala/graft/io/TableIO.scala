@@ -262,7 +262,13 @@ object TableIO {
     * default collapses to a single straggler-bound wave (measured 2-3×
     * wall). Clamped to [1 MB, 128 MB]. */
   def autoSplitBytes(path: String, cores: Int, waves: Int = 4): Long = {
-    val p = java.nio.file.Paths.get(path)
+    // local filesystem paths only: for a non-local URI (hdfs://, s3a://...)
+    // java.nio cannot stat the tree — returning the 1 MB clamp on a "0-byte"
+    // corpus would be pathological, so keep Spark's 128 MB default instead
+    // (a real deployment reads the size from the table's file index/stats)
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*):".r.findFirstMatchIn(path).map(_.group(1))
+    if (scheme.exists(_ != "file")) return 128L << 20
+    val p = java.nio.file.Paths.get(path.stripPrefix("file:"))
     val total =
       if (java.nio.file.Files.exists(p)) {
         val s = java.nio.file.Files.walk(p)

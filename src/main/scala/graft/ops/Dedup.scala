@@ -50,6 +50,10 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-run convergence metrics for [[connectedComponentsWithStats]]:
+    * rounds actually executed and whether the labels converged. */
+  final case class CCStats(rounds: Int, converged: Boolean)
+
   /** Connected components by iterative min-label propagation. `edges` is
     * (src: long, dst: long), treated as undirected; returns (doc_id, root)
     * for every node that appears in an edge, root = min doc_id of its
@@ -57,6 +61,18 @@ object Dedup {
     * (LSH dedup graphs converge in a handful; a pathological chain needs
     * O(diameter) — raise maxIter for adversarial graphs). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val (labels, stats) = connectedComponentsWithStats(edges, maxIter)
+    require(stats.converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** [[connectedComponents]] plus [[CCStats]]; does NOT throw on
+    * non-convergence (callers inspect the stats). Each round costs exactly
+    * ONE Spark action: the per-round frame is localCheckpoint'ed LAZILY and
+    * the changed-count aggregate both materializes the checkpoint and
+    * decides convergence (the former eager-checkpoint + isEmpty pair paid
+    * two jobs per round — half of q50's wall, VERDICT r04 #3). */
+  def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 25): (DataFrame, CCStats) = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -80,14 +96,16 @@ object Dedup {
       val next = labels.join(cand, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("root"), coalesce(col("cand"), col("root"))).as("root"),
-          (col("cand") < col("root")).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+          (col("cand") < col("root")).cast("long").as("changed"))
+        .localCheckpoint(eager = false)
+      // single action: computing the aggregate materializes the lazy local
+      // checkpoint (lineage truncates at first job) AND yields the count
+      val changedCount = next.agg(coalesce(sum(col("changed")), lit(0L))).collect()(0).getLong(0)
+      converged = changedCount == 0L
       labels = next.drop("changed")
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels
+    (labels, CCStats(iter, converged))
   }
 
   /** Full duplicate-cluster summary over (doc_id, text): one row per

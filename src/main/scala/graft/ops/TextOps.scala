@@ -386,29 +386,39 @@ object TextOps {
     * with an eval suite). `corpus` is (doc_id, text); `benchmark` is any
     * relation with a `text` column — its OWN table/scan, typically tiny
     * (eval suites are thousands of docs). Scale shape: the benchmark gram
-    * set is distinct'd and explicitly broadcast; the corpus side streams
-    * through shingle-explode -> broadcast left join -> per-doc count —
-    * linear in corpus grams, no corpus-side pairs, no corpus broadcast.
+    * set is distinct'd, collected (it is the broadcast side by definition —
+    * eval suites are thousands of docs vs a 10^12-doc corpus) and broadcast
+    * as a hash set; the corpus pass counts matches INSIDE the same
+    * mapPartitions that shingles, emitting exactly one row per document —
+    * zero shuffle, no per-gram row materialization (the former
+    * shingle-explode -> broadcast-left-join form paid one typed-encoder row
+    * + UTF8String alloc per gram and re-aggregated per doc: measured 5x the
+    * wall of this shape at sf0.1, VERDICT r04 #2).
     * Returns (doc_id, n_grams, n_matched, contam_frac, contaminated). */
   def decontaminate(corpus: org.apache.spark.sql.DataFrame,
       benchmark: org.apache.spark.sql.DataFrame, n: Int = 8): org.apache.spark.sql.DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val corpusGrams = corpus
-      .select(col("doc_id").cast("long").as("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, t) =>
-        wordShinglesKernel(t, n).iterator.map(g => (id, g))
-      })
-      .toDF("doc_id", "gram")
-    val benchGrams = benchmark.select(col("text")).as[String]
+    val benchGrams: Array[String] = benchmark.select(col("text")).as[String]
       .mapPartitions(_.flatMap(t => wordShinglesKernel(t, n).iterator))
-      .toDF("gram").distinct()
-      .withColumn("hit", lit(1))
-    // one counting pass: per-doc total grams AND matched grams from a single
-    // broadcast LEFT join (count(hit) skips nulls) — no join-back
-    corpusGrams.join(broadcast(benchGrams), Seq("gram"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_grams"), count(col("hit")).as("n_matched"))
+      .distinct().collect()
+    val bc = spark.sparkContext.broadcast {
+      val s = new java.util.HashSet[String](benchGrams.length * 2)
+      benchGrams.foreach(s.add); s
+    }
+    corpus
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val set = bc.value
+        it.map { case (id, t) =>
+          val grams = wordShinglesKernel(t, n)
+          var matched = 0L
+          var i = 0
+          while (i < grams.length) { if (set.contains(grams(i))) matched += 1; i += 1 }
+          (id, grams.length, matched)
+        }
+      }
+      .toDF("doc_id", "n_grams", "n_matched")
       .select(
         col("doc_id"),
         col("n_grams"),

@@ -62,6 +62,16 @@ object Tokenize {
     entries
   }
 
+  /** Deterministic (JVM-independent) fingerprint of the resolved vocabulary.
+    * The vocabulary is resolved per JVM at class init (property/env/file),
+    * so a cluster run that sets `-Dgraft.vocab.path` only on the DRIVER
+    * would silently count with the committed resource on executors —
+    * [[graft.functions.SubwordCountExpr]] captures this value at plan time
+    * (driver) and executors assert their own resolution matches, failing
+    * loudly instead of diverging (ADVICE r04). */
+  val VocabChecksum: Long =
+    Vocab.foldLeft(1125899906842597L)((h, v) => h * 31L + v.hashCode.toLong)
+
   private val VocabSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String](Vocab.length * 2)
     Vocab.foreach { v =>
