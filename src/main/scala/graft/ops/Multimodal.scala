@@ -40,6 +40,8 @@ object Multimodal {
       n_bytes: Int,
       sha1: String,
       decoder: String, // "pnm" | "imageio" (real parses) | "stub" (fallback)
+      dec_width: Int, // decoded raster dims — 0 when the raster is empty
+      dec_height: Int,
       mean_luma: Double,
       edge_score: Double,
       phash64: Long)
@@ -240,7 +242,8 @@ object Multimodal {
         i += 1
       }
       MediaFeatures(m.media_ref, m.doc_id, m.kind, content.length, sha1Hex(content),
-        decoder, mean, edges / 56.0, phash)
+        decoder, if (raster.length == 0) 0 else raster(0).length, raster.length,
+        mean, edges / 56.0, phash)
     })
   }
 
