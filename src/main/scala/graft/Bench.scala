@@ -142,23 +142,37 @@ object Bench {
     val pruneDir = sustainedDir.stripSuffix("/") + "_prune"
     locally {
       import spark.implicits._
-      spark.createDataset(graft.fixtures.Fixtures.corpusIdsRareGiants(40000))
+      // 160k docs (r5, was 40k): the r4 A/B's ~2 s legs were noise-dominated
+      // on this multi-tenant box (the committed artifact showed a 2x managed
+      // LOSS where the builder's windows showed a 1.3x win) — 4x the corpus
+      // puts the decode delta the stats column saves above the noise floor
+      spark.createDataset(graft.fixtures.Fixtures.corpusIdsRareGiants(160000))
         .repartition(128)
         .map(graft.fixtures.Fixtures.gen _)
         .write.mode("overwrite").parquet(pruneDir)
     }
     val pruneManagedDir = pruneDir + "_managed"
     val pruneIn = spark.read.parquet(pruneDir)
+    // 4 MB row-group floor (r5, measured): the former totalBytes/512 formula
+    // clamped to 1 MB groups on this corpus, taxing every full decode ~50%
+    // (ManagedProbe sweep: 4 MB groups beat 1 MB at equal pruning win —
+    // file count already provides scan parallelism at this size)
     graft.io.TableIO.writeContractInput(pruneIn, pruneManagedDir,
-      blockBytes = math.max(1L << 20, math.min(8L << 20,
+      blockBytes = math.max(4L << 20, math.min(16L << 20,
         graft.io.TableIO.autoSplitBytes(pruneDir, 512, 1))))
     val pruneThreshold = 128 * graft.kernel.Parse.SpansPerPage
+    // min of 3 timed passes per leg: single-shot walls on this box swing
+    // ~2x with co-tenant load; the min is the least-interference estimate
+    // (same estimator as ScalingBench/BASELINE.md)
     def timedCount(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
       df.limit(1000).selectExpr("count(*)").collect() // codegen warmup
-      val t = System.nanoTime()
-      val n = df.filter(!org.apache.spark.sql.functions.col("quarantined"))
-        .selectExpr("count(*) AS n", "sum(num_pages)").collect()(0).getLong(0)
-      ((System.nanoTime() - t) / 1e9, n)
+      val runs = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val n = df.filter(!org.apache.spark.sql.functions.col("quarantined"))
+          .selectExpr("count(*) AS n", "sum(num_pages)").collect()(0).getLong(0)
+        ((System.nanoTime() - t) / 1e9, n)
+      }
+      (runs.map(_._1).min, runs.head._2)
     }
     // config symmetry (ADVICE r04): each leg gets the batch size derived
     // from ITS OWN corpus — the raw leg must not inherit the managed
