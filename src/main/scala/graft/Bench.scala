@@ -26,8 +26,10 @@ object Bench {
       // span-array rows: columnar batch memory scales with rowSize x
       // batchSize and giant docs dominate bytes — 64-row batches keep the
       // per-task batch ~20 MB (measured -30%+ extraction wall vs 512)
+      // "auto" (ScalingBench convention) falls back to the 64 default here —
+      // the sustained/managed legs below derive their own byte-budgeted size
       .config("spark.sql.parquet.columnarReaderBatchSize",
-        sys.env.getOrElse("SPARK_GRAFT_BATCH", "64"))
+        sys.env.get("SPARK_GRAFT_BATCH").filter(_.forall(_.isDigit)).getOrElse("64"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
