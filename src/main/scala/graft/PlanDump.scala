@@ -41,7 +41,13 @@ object PlanDump extends App {
     ("q26 n-gram Jaccard join", "Equi-join on the shifted doc_id with NO broadcast hint (VERDICT r01: hinted broadcast of a corpus-sized side is a 100 TB OOM) — the planner/AQE picks from stats; at scale this is a shuffle join on the key.",
      ops.Queries.all("q26_ngram_jaccard")(spark, sf)),
     ("q31 ANN LSH buckets", "Hyperplane sign weights are array LITERALS (precomputed once; previously an md5 per plane x dim x row) — the scan feeds a pure projection + hash aggregate.",
-     ops.Queries.all("q31_ann_lsh_buckets")(spark, sf)))
+     ops.Queries.all("q31_ann_lsh_buckets")(spark, sf)),
+    ("q49 decontaminate (r5 kernel-side counting)",
+     "The benchmark gram set is a driver-collected broadcast hash set probed inside the shingling mapPartitions: ONE narrow stage over the corpus, one output row per document — no Exchange, no join, no per-gram row materialization (the r4 shingle-explode + broadcast-join form paid one typed-encoder row per gram; 4.88 -> 0.77 s at sf0.1).",
+     ops.Queries.all("q49_decontaminate")(spark, sf)),
+    ("Page-split leg (r5 declarative explode), 64-span threshold so the giant leg is live",
+     "The giant leg is now: pruned scan -> columnar posexplode (codegen, inside the scan stage) -> ONE scatter Exchange by (doc_id, page_no) -> in-partition sort + run-assembly mapPartitions (page kernels) -> regather by doc. The former typed flatMap explode deserialized giants through the Seq[Span] MapObjects encoder and needed a pre-scatter doc shuffle (~70% of the leg's wall, both gone).",
+     graft.pipeline.Extract.extractContract(spark.read.parquet(corpusPath), skewSpanThreshold = 64)))
   val md = new StringBuilder
   md ++= "# PLANS — physical plans of the pipeline and key operators\n\n"
   md ++= "Captured by `graft.PlanDump` at local[8], AQE on, sf0.001.\n"
