@@ -97,6 +97,14 @@ object DecompProbe {
           (docId, pageNo, graft.kernel.Extractor.extractPage(pageNo, pageSpans, graft.model.ExtractConfig.default).text_blocks.length)
         }.select(count(lit(1))).collect()
     }
+    t("giant_pages_only") { // new declarative leg WITHOUT the per-doc regather
+      graft.pipeline.Extract.pageSplitPages(
+        pruneIn.filter(nSpans > thr)
+          .select(col("doc_id").cast("string").as("doc_id"), col("spans"))
+          .as[graft.model.RawDoc],
+        graft.model.ExtractConfig.default, 0)
+        .select(count(lit(1))).collect()
+    }
     t("raw_e2e") {
       graft.pipeline.Extract.extractContract(pruneIn, skewSpanThreshold = thr)
         .filter(!col("quarantined")).select(count(lit(1)), sum(col("num_pages"))).collect()

@@ -1206,6 +1206,49 @@ object Queries {
       |    + length(CAST(dec_height AS VARCHAR)) + dec_width * dec_height AS INTEGER) END AS pnm_bytes
       |FROM d""".stripMargin
 
+  /** Audio decode inside the hard gate (round-5, q51's sibling): one
+    * genuine RIFF/PCM WAV payload per document (ref = 'aud://<doc_id>',
+    * seeded 16-bit waveform), decoded by the REAL parser
+    * ([[Multimodal.decodeWavPcm]], javax.sound) — emits the decoder,
+    * sample rate, decoded sample count, duration and container byte length,
+    * all integer-exact functions of the ref's String.hashCode that the
+    * DuckDB oracle replays arithmetically (a broken WAV parse surfaces as
+    * decoder='stub' or wrong counts). The float features (rms,
+    * zero-crossings) stay test-covered — replaying the 64-bit LCG waveform
+    * in SQL would be oracle theater, not verification. */
+  private val qAudioDecode: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val refs = doc(spark, sfDir)
+      .select(concat(lit("aud://"), col("doc_id").cast("string")).as("ref"),
+        col("doc_id").cast("string").as("doc"))
+      .as[(String, String)]
+    Multimodal.extractAudioFeatures(Multimodal.syntheticAudio(spark, refs)).toDF()
+      .select(
+        col("media_ref"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("decoder"),
+        col("sample_rate"),
+        col("n_samples"),
+        col("duration_ms"),
+        col("n_bytes").as("wav_bytes"))
+  }
+  private val oAudioDecode =
+    """WITH m AS (SELECT doc_id, 'aud://' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents),
+      |s AS (SELECT doc_id, media_ref,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, length(media_ref) + 1),
+      |      i -> CAST(ascii(substr(media_ref, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |    (h, c) -> (h * 31 + c) % 4294967296) AS seed
+      |  FROM m),
+      |d AS (SELECT doc_id, media_ref, CAST(800 + seed % 1600 AS BIGINT) AS n FROM s)
+      |SELECT media_ref, doc_id,
+      |  'wav' AS decoder,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(n AS INTEGER) AS n_samples,
+      |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+      |  CAST(44 + n * 2 AS INTEGER) AS wav_bytes
+      |FROM d""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
@@ -1259,7 +1302,8 @@ object Queries {
     "q48_chunk_windows" -> qChunkWindows,
     "q49_decontaminate" -> qDecontaminate,
     "q50_dedup_clusters" -> qDedupClusters,
-    "q51_media_decode" -> qMediaDecode
+    "q51_media_decode" -> qMediaDecode,
+    "q52_audio_decode" -> qAudioDecode
   )
 
   val oracles: Map[String, String] = Map(
@@ -1313,6 +1357,7 @@ object Queries {
     "q48_chunk_windows" -> oChunkWindows,
     "q49_decontaminate" -> oDecontaminate,
     "q50_dedup_clusters" -> oDedupClusters,
-    "q51_media_decode" -> oMediaDecode
+    "q51_media_decode" -> oMediaDecode,
+    "q52_audio_decode" -> oAudioDecode
   )
 }

@@ -65,7 +65,7 @@ object Extract {
     * int-division semantics (double-divide + int cast truncates toward
     * zero); span order within a page = stable offset-sort, reproduced by
     * sorting (offset, original position). */
-  private def pageSplitPages(big: Dataset[RawDoc], cfg: ExtractConfig,
+  private[graft] def pageSplitPages(big: Dataset[RawDoc], cfg: ExtractConfig,
       pageParallelism: Int): Dataset[(String, Int, PageResult)] = {
     val spark = big.sparkSession
     import spark.implicits._
@@ -103,6 +103,13 @@ object Extract {
       }
   }
 
+  // Regather note (r5, measured so nobody re-litigates it): the per-page
+  // results cross the regather shuffle through the Catalyst product encoder.
+  // Two byte-payload alternatives were benchmarked on the A/B corpus — JDK
+  // ObjectOutputStream (40% WORSE: class descriptors + reflection per page)
+  // and a hand-rolled field codec (equal within noise) — so the remaining
+  // leg cost is the shuffle + per-doc finalize itself, not encoder overhead,
+  // and the simple typed groupByKey stays.
   /** Page-split leg emitting the slim contract rows. */
   private def pageSplitSpanDocs(big: Dataset[RawDoc], cfg: ExtractConfig,
       pageParallelism: Int): Dataset[SpanDoc] = {

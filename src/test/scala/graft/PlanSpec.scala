@@ -135,6 +135,42 @@ class PlanSpec extends AnyFunSuite {
     assert(canon(viaTable) == canon(viaRaw))
   }
 
+  test("extractContractFromTable: raw table without n_spans falls back, results identical") {
+    import spark.implicits._
+    // a RAW contract table (no stats column) pointed at the managed entry
+    // must take the raw two-scan path, not fail on an unresolved column
+    // (VERDICT r04 #1: stats are an optimization, never a correctness
+    // requirement)
+    val dir = java.nio.file.Files.createTempDirectory("contract_rawfb").toString
+    val raw = spark.createDataset(graft.fixtures.Fixtures.corpus(40).toSeq).toDF()
+    raw.select(col("doc_id").cast("string").as("doc_id"), col("spans"))
+      .write.mode("overwrite").parquet(dir)
+    val viaFallback = graft.pipeline.Extract.extractContractFromTable(spark, dir, skewSpanThreshold = 64)
+    val viaRaw = graft.pipeline.Extract.extractContract(raw, skewSpanThreshold = 64)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.selectExpr("doc_id", "to_json(spans) AS j", "num_pages", "quarantined")
+        .as[(String, String, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(canon(viaFallback) == canon(viaRaw))
+  }
+
+  test("connectedComponentsWithStats: round metrics, star converges at init, chain needs hops") {
+    import spark.implicits._
+    // pure hub-star: init (neighborhood min) is already correct, one
+    // verification round only
+    val star = Seq((5L, 1L), (9L, 1L), (7L, 1L)).toDF("src", "dst")
+    val (l1, s1) = graft.ops.Dedup.connectedComponentsWithStats(star)
+    assert(s1.converged && s1.rounds == 1, s"star: $s1")
+    assert(l1.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
+    // a 5-node chain needs label propagation across hops
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val (l2, s2) = graft.ops.Dedup.connectedComponentsWithStats(chain)
+    assert(s2.converged && s2.rounds > 1, s"chain: $s2")
+    assert(l2.as[(Long, Long)].collect().toMap.values.toSet == Set(1L))
+    // maxIter bound: non-convergence is reported, not thrown
+    val (_, s3) = graft.ops.Dedup.connectedComponentsWithStats(chain, maxIter = 1)
+    assert(!s3.converged && s3.rounds == 1, s"bounded: $s3")
+  }
+
   test("native SubwordCountExpr: codegen'd, greedy longest-match values") {
     graft.functions.Functions.registerAll(spark)
     val df = spark.read.parquet(s"$sf/documents.parquet")
