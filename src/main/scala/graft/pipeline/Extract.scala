@@ -72,19 +72,29 @@ object Extract {
     implicit val prEnc = org.apache.spark.sql.Encoders.product[(String, Int, PageResult)]
     val parallelism = if (pageParallelism > 0) pageParallelism
       else spark.sparkContext.defaultParallelism
+    // Null span ELEMENTS become sentinel rows (page_no = Int.MinValue)
+    // instead of being filtered out: a doc whose spans are ALL null would
+    // otherwise emit zero units and silently VANISH from the output —
+    // violating the quarantine-never-drop contract the narrow leg keeps
+    // (the pre-r5 flatMap leg had the same hole). The regather discards
+    // sentinels, so such docs finalize over zero pages exactly like the
+    // narrow kernel. (Empty/null span ARRAYS cannot reach this leg: the
+    // callers' size(spans) > threshold pre-filter excludes them.)
     big.toDF()
       .select(col("doc_id"), posexplode(col("spans")))
       .withColumnRenamed("col", "s")
-      .filter(col("s").isNotNull)
       .select(col("doc_id"), col("pos"),
-        col("s.kind"), col("s.text"), col("s.media_ref"), col("s.offset"),
-        (col("s.offset") / lit(Parse.SpansPerPage)).cast("int").as("page_no"))
+        col("s.kind"), col("s.text"), col("s.media_ref"),
+        coalesce(col("s.offset"), lit(0)).as("offset"),
+        when(col("s").isNull, lit(Int.MinValue))
+          .otherwise((col("s.offset") / lit(Parse.SpansPerPage)).cast("int")).as("page_no"))
       .repartition(parallelism, col("doc_id"), col("page_no"))
       .sortWithinPartitions(col("doc_id"), col("page_no"), col("offset"), col("pos"))
       .as[(String, Int, String, String, String, Int, Int)]
       .mapPartitions { it =>
         // assemble each (doc_id, page_no) run — contiguous after the sort —
-        // and run the page kernel in place
+        // and run the page kernel in place; sentinel runs emit a marker the
+        // regather drops (they exist only to keep the doc represented)
         new Iterator[(String, Int, PageResult)] {
           private var nextRow: (String, Int, String, String, String, Int, Int) =
             if (it.hasNext) it.next() else null
@@ -94,10 +104,11 @@ object Extract {
             val pageNo = nextRow._7
             val buf = new scala.collection.mutable.ArrayBuffer[Span](64)
             while (nextRow != null && nextRow._1 == docId && nextRow._7 == pageNo) {
-              buf += Span(nextRow._3, nextRow._4, nextRow._5, nextRow._6)
+              if (pageNo != Int.MinValue) buf += Span(nextRow._3, nextRow._4, nextRow._5, nextRow._6)
               nextRow = if (it.hasNext) it.next() else null
             }
-            (docId, pageNo, Extractor.extractPage(pageNo, buf.toSeq, cfg))
+            if (pageNo == Int.MinValue) (docId, pageNo, PageResult(page_number = 0))
+            else (docId, pageNo, Extractor.extractPage(pageNo, buf.toSeq, cfg))
           }
         }
       }
@@ -119,7 +130,7 @@ object Extract {
     pageSplitPages(big, cfg, pageParallelism)
       .groupByKey(_._1)
       .mapGroups { (docId, it) =>
-        val pages = it.toVector.sortBy(_._2).map(_._3)
+        val pages = it.toVector.filter(_._2 != Int.MinValue).sortBy(_._2).map(_._3)
         toSpanDoc(Extractor.finalizeDoc(docId, pages, cfg))
       }
   }
@@ -133,7 +144,7 @@ object Extract {
     pageSplitPages(big, cfg, pageParallelism)
       .groupByKey(_._1)
       .mapGroups { (docId, it) =>
-        val pages = it.toVector.sortBy(_._2).map(_._3)
+        val pages = it.toVector.filter(_._2 != Int.MinValue).sortBy(_._2).map(_._3)
         Extractor.finalizeDoc(docId, pages, cfg)
       }
   }

@@ -64,6 +64,43 @@ class PipelineSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("page-split equals narrow on adversarial streams (unsorted, duplicate/negative offsets, nulls)") {
+    import spark.implicits._
+    // targets the r5 declarative explode's parity obligations: page =
+    // offset/SpansPerPage with Java int-division (negatives truncate toward
+    // zero), span order within a page = STABLE offset-sort (sort key must
+    // include the original position), null span elements dropped
+    val rnd = new scala.util.Random(4242)
+    val docs = (0 until 30).map { i =>
+      val n = 1 + rnd.nextInt(120)
+      val spans: Vector[graft.model.Span] = rnd.shuffle((0 until n).map { j =>
+        val off = rnd.nextInt(200) - 3 // negatives, duplicates, unsorted
+        if (rnd.nextInt(12) == 0) null
+        else if (rnd.nextInt(10) == 0) graft.model.Span("image", "", s"m://$i/$j", off)
+        else graft.model.Span("text",
+          if (rnd.nextInt(12) == 0) null
+          else ("w" + rnd.nextInt(9) + " ") * (1 + rnd.nextInt(6)), "", off)
+      }.toVector)
+      graft.model.RawDoc(f"fuzz-$i%03d", spans)
+    }
+    // all-null span arrays: size(spans) > 0 so they REACH the page-split
+    // leg, but they explode to zero real units — the sentinel mechanism must
+    // keep them represented (the pre-r5 leg silently dropped them)
+    val allNull = Seq(
+      graft.model.RawDoc("fuzz-nulls-a", Vector(null, null, null)),
+      graft.model.RawDoc("fuzz-nulls-b", Vector(null)))
+    val ds = spark.createDataset(docs.toSeq ++ allNull)
+    val narrow = graft.pipeline.Extract.extractSpans(ds).collect().sortBy(_.doc_id)
+    val split = graft.pipeline.Extract.extractSpansSkewAware(ds, skewSpanThreshold = 0)
+      .collect().sortBy(_.doc_id)
+    assert(narrow.length == split.length)
+    narrow.zip(split).foreach { case (a, b) =>
+      assert(a.doc_id == b.doc_id && a.spans == b.spans && a.num_pages == b.num_pages &&
+        a.quarantined == b.quarantined,
+        s"adversarial page-split divergence on ${a.doc_id}")
+    }
+  }
+
   test("skew-aware entry points honor cfg.engine (ADVICE r01: big docs must not silently run core)") {
     import spark.implicits._
     val docs = Seq("two_column_text", "single_column_contract", "tabular_report")
