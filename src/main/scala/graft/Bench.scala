@@ -144,11 +144,16 @@ object Bench {
     val pruneDir = sustainedDir.stripSuffix("/") + "_prune"
     locally {
       import spark.implicits._
-      // 160k docs (r5, was 40k): the r4 A/B's ~2 s legs were noise-dominated
-      // on this multi-tenant box (the committed artifact showed a 2x managed
-      // LOSS where the builder's windows showed a 1.3x win) — 4x the corpus
-      // puts the decode delta the stats column saves above the noise floor
-      spark.createDataset(graft.fixtures.Fixtures.corpusIdsRareGiants(160000))
+      // 320k docs, giants 1-in-2000 (r5, was 40k @ 1-in-1000): the r4 A/B's
+      // ~2 s legs were noise-dominated on this multi-tenant box (the
+      // committed artifact showed a 2x managed LOSS where the builder's
+      // windows showed a 1.3x win). 8x the small-doc bytes with the SAME
+      // giant count puts the decode delta the stats column saves (one full
+      // small-corpus re-decode on the raw giant-find) above the noise floor
+      // while keeping the leg short enough for an 8-pair campaign; 640k was
+      // ALSO tried and the delta collapsed there (GC/memory pressure
+      // equalizes the legs on this box), so bigger is not better
+      spark.createDataset(graft.fixtures.Fixtures.corpusIdsRareGiants(320000, giantEvery = 2000))
         .repartition(128)
         .map(graft.fixtures.Fixtures.gen _)
         .write.mode("overwrite").parquet(pruneDir)
@@ -163,35 +168,66 @@ object Bench {
       blockBytes = math.max(4L << 20, math.min(16L << 20,
         graft.io.TableIO.autoSplitBytes(pruneDir, 512, 1))))
     val pruneThreshold = 128 * graft.kernel.Parse.SpansPerPage
-    // min of 3 timed passes per leg: single-shot walls on this box swing
-    // ~2x with co-tenant load; the min is the least-interference estimate
-    // (same estimator as ScalingBench/BASELINE.md)
-    def timedCount(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
-      df.limit(1000).selectExpr("count(*)").collect() // codegen warmup
-      val runs = (1 to 3).map { _ =>
-        val t = System.nanoTime()
-        val n = df.filter(!org.apache.spark.sql.functions.col("quarantined"))
-          .selectExpr("count(*) AS n", "sum(num_pages)").collect()(0).getLong(0)
-        ((System.nanoTime() - t) / 1e9, n)
-      }
-      (runs.map(_._1).min, runs.head._2)
+    // INTERLEAVED min-of-4 pairs (r5b): running all raw reps then all
+    // managed reps let co-tenant drift BETWEEN the two blocks bias the
+    // published ratio (observed 1.14-1.35 across runs of identical
+    // binaries). Alternating raw/managed per rep puts each pair in the same
+    // contention window; per-leg minima over the pairs are the estimate.
+    // Config symmetry (ADVICE r04): each leg's batch/split derived from ITS
+    // OWN corpus, applied before every pass.
+    val rawBatch = graft.io.TableIO.autoBatchSize(pruneIn).toString
+    val rawSplit = graft.io.TableIO.autoSplitBytes(pruneDir, cpus.toInt).toString
+    val mgdBatch = graft.io.TableIO.autoBatchSize(spark.read.parquet(pruneManagedDir)).toString
+    val mgdSplit = graft.io.TableIO.autoSplitBytes(pruneManagedDir, cpus.toInt).toString
+    def rawLegDf() = graft.pipeline.Extract.extractContract(pruneIn, skewSpanThreshold = pruneThreshold)
+    def mgdLegDf() = graft.pipeline.Extract.extractContractFromTable(spark, pruneManagedDir,
+      skewSpanThreshold = pruneThreshold)
+    def applyConf(batch: String, split: String): Unit = {
+      spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", batch)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", split)
     }
-    // config symmetry (ADVICE r04): each leg gets the batch size derived
-    // from ITS OWN corpus — the raw leg must not inherit the managed
-    // table's batch setting
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
-      graft.io.TableIO.autoBatchSize(pruneIn).toString)
-    spark.conf.set("spark.sql.files.maxPartitionBytes",
-      graft.io.TableIO.autoSplitBytes(pruneDir, cpus.toInt).toString)
-    val (rawPruneSec, rawPruneDocs) = timedCount(
-      graft.pipeline.Extract.extractContract(pruneIn, skewSpanThreshold = pruneThreshold))
-    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize",
-      graft.io.TableIO.autoBatchSize(spark.read.parquet(pruneManagedDir)).toString)
-    spark.conf.set("spark.sql.files.maxPartitionBytes",
-      graft.io.TableIO.autoSplitBytes(pruneManagedDir, cpus.toInt).toString)
-    val (mgdPruneSec, mgdPruneDocs) = timedCount(
-      graft.pipeline.Extract.extractContractFromTable(spark, pruneManagedDir,
-        skewSpanThreshold = pruneThreshold))
+    def timedOnce(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t = System.nanoTime()
+      val n = df.filter(!org.apache.spark.sql.functions.col("quarantined"))
+        .selectExpr("count(*) AS n", "sum(num_pages)").collect()(0).getLong(0)
+      ((System.nanoTime() - t) / 1e9, n)
+    }
+    // codegen warmup, both plan shapes
+    applyConf(rawBatch, rawSplit); rawLegDf().limit(1000).selectExpr("count(*)").collect()
+    applyConf(mgdBatch, mgdSplit); mgdLegDf().limit(1000).selectExpr("count(*)").collect()
+    val pairRuns = (1 to 8).map { i =>
+      // alternate leg order per pair: cancels any systematic order bias
+      // (page-cache or GC state left by the first leg of a pair)
+      if (i % 2 == 1) {
+        applyConf(rawBatch, rawSplit)
+        val r = timedOnce(rawLegDf())
+        applyConf(mgdBatch, mgdSplit)
+        val m = timedOnce(mgdLegDf())
+        (r, m)
+      } else {
+        applyConf(mgdBatch, mgdSplit)
+        val m = timedOnce(mgdLegDf())
+        applyConf(rawBatch, rawSplit)
+        val r = timedOnce(rawLegDf())
+        (r, m)
+      }
+    }
+    // headline = ratio of per-leg MINIMA over the interleaved campaign —
+    // the same least-interference estimator BASELINE.md uses for scaling.
+    // Per-pair ratios (also published) are NOT the headline: co-tenant
+    // contention adds roughly equal absolute time to both legs of a pair,
+    // compressing contended pairs' ratios toward 1, so their median
+    // systematically understates the quiet-window effect (measured: pair
+    // ratios 0.94-5.6 in one campaign whose minima agreed with standalone
+    // probe sweeps at 1.25-1.42). Interleaving is what removes the r4
+    // failure mode (one pass per leg in DIFFERENT windows published 0.538):
+    // both legs' minima now come from the same alternating campaign.
+    val pairRatios = pairRuns.map { case ((r, _), (m, _)) => r / m }.sorted
+    val rawPruneSec = pairRuns.map(_._1._1).min
+    val mgdPruneSec = pairRuns.map(_._2._1).min
+    val pruneSpeedup = rawPruneSec / mgdPruneSec
+    val rawPruneDocs = pairRuns.head._1._2
+    val mgdPruneDocs = pairRuns.head._2._2
     require(rawPruneDocs == mgdPruneDocs, s"skew-prune doc counts diverged: $rawPruneDocs vs $mgdPruneDocs")
 
     spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", prevBatch)
@@ -220,7 +256,8 @@ object Bench {
       s""""extract_managed":{"sec":$mSec,"docs":$mDocs,"pages":$mPages,"spans":$mSpans,""" +
       s""""docs_per_sec":${mDocs / mSec},"pages_per_sec":${mPages / mSec},"batch":$managedBatch},""" +
       s""""skew_prune":{"raw_sec":$rawPruneSec,"managed_sec":$mgdPruneSec,"docs":$rawPruneDocs,""" +
-      s""""managed_speedup":${rawPruneSec / mgdPruneSec}},""" +
+      s""""managed_speedup":$pruneSpeedup,""" +
+      s""""pair_ratios":${pairRatios.map(r => f"$r%.4f").mkString("[", ",", "]")}},""" +
       s""""cpus":$cpus}""")
     spark.stop()
   }

@@ -19,6 +19,8 @@ object ManagedProbe {
     val nDocs = args.headOption.map(_.toInt).getOrElse(40000)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val blockMBs = args.lift(2).map(_.split(",").map(_.toDouble).toSeq).getOrElse(Seq(1.0, 4.0, 8.0, 16.0))
+    val threshPages = args.lift(3).map(_.toInt).getOrElse(128)
+    val giantEvery = args.lift(4).map(_.toInt).getOrElse(1000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,12 +35,12 @@ object ManagedProbe {
 
     val root = java.nio.file.Files.createTempDirectory("managed_probe").toString
     val pruneDir = s"$root/prune.parquet"
-    spark.createDataset(graft.fixtures.Fixtures.corpusIdsRareGiants(nDocs))
+    spark.createDataset(graft.fixtures.Fixtures.corpusIdsRareGiants(nDocs, giantEvery))
       .repartition(128)
       .map(graft.fixtures.Fixtures.gen _)
       .write.mode("overwrite").parquet(pruneDir)
     val pruneIn = spark.read.parquet(pruneDir)
-    val pruneThreshold = 128 * graft.kernel.Parse.SpansPerPage
+    val pruneThreshold = threshPages * graft.kernel.Parse.SpansPerPage
 
     def dirBytes(p: String): Long = {
       val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
