@@ -45,6 +45,12 @@ object PlanDump extends App {
     ("q49 decontaminate (r5 kernel-side counting)",
      "The benchmark gram set is a driver-collected broadcast hash set probed inside the shingling mapPartitions: ONE narrow stage over the corpus, one output row per document — no Exchange, no join, no per-gram row materialization (the r4 shingle-explode + broadcast-join form paid one typed-encoder row per gram; 4.88 -> 0.77 s at sf0.1).",
      ops.Queries.all("q49_decontaminate")(spark, sf)),
+    ("q53 IVF ANN search (r5)",
+     "Coarse quantizer trained driver-side on a BOUNDED sample (one 64-vector collect — the standard IVF recipe regardless of corpus size), centroids + queries broadcast. The corpus streams ONCE through a map-side assign+probe filter (no Exchange before candidate scoring); the only shuffle ranks the candidate slice (queries x nprobe/k of the corpus). At rest the assigned table would be partitionBy(list_id) so probes prune at the reader.",
+     ops.Queries.all("q53_ann_ivf")(spark, sf)),
+    ("q54 Bloom-prefiltered decontamination (r5)",
+     "The eval-set-too-big-to-broadcast regime: Bloom filter built DISTRIBUTED over the benchmark grams (executor partial sketches, driver merge), broadcast compact (~1.2 B/gram at 1% fpp vs tens of B/gram for an exact set). ONE corpus pass (shingle + count + Bloom probe in-kernel), localCheckpoint'ed slim per-doc frame; the exact confirm equi-join shuffles only the Bloom-positive sliver and kills false positives, so the output is bit-identical to q49 (same oracle SQL).",
+     ops.Queries.all("q54_decontaminate_bloom")(spark, sf)),
     ("Page-split leg (r5 declarative explode), 64-span threshold so the giant leg is live",
      "The giant leg is now: pruned scan -> columnar posexplode (codegen, inside the scan stage) -> ONE scatter Exchange by (doc_id, page_no) -> in-partition sort + run-assembly mapPartitions (page kernels) -> regather by doc. The former typed flatMap explode deserialized giants through the Seq[Span] MapObjects encoder and needed a pre-scatter doc shuffle (~70% of the leg's wall, both gone).",
      graft.pipeline.Extract.extractContract(spark.read.parquet(corpusPath), skewSpanThreshold = 64)))

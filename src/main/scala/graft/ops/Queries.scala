@@ -1173,13 +1173,21 @@ object Queries {
     * as decoder='stub' or wrong dims. pnm_bytes is checked only for the
     * deterministic PGM container (PNG/JPEG sizes are codec-dependent ->
     * NULL on both sides). */
-  private val qMediaDecode: Q = (spark, sfDir) => {
+  /** q51's synthetic ENCODED payload table — exposed so Bench can
+    * materialize it UNTIMED (production corpora arrive encoded; the
+    * interesting cost is DECODE, sustained-corpus precedent). */
+  def mediaPayloads(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
     val refs = doc(spark, sfDir)
       .select(concat(lit("img://"), col("doc_id").cast("string")).as("ref"),
         col("doc_id").cast("string").as("doc"))
       .as[(String, String)]
-    Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, refs)).toDF()
+    Multimodal.syntheticMedia(spark, refs)
+  }
+
+  /** q51's decode+projection stage over an already-encoded payload table. */
+  def mediaDecodeFrom(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]): DataFrame =
+    Multimodal.extractFeatures(media).toDF()
       .select(
         col("media_ref"),
         col("doc_id").cast("long").as("doc_id"),
@@ -1187,7 +1195,9 @@ object Queries {
         col("dec_width"),
         col("dec_height"),
         when(col("decoder") === "pnm", col("n_bytes")).as("pnm_bytes"))
-  }
+
+  private val qMediaDecode: Q = (spark, sfDir) =>
+    mediaDecodeFrom(mediaPayloads(spark, sfDir))
   private val oMediaDecode =
     """WITH m AS (SELECT doc_id, 'img://' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents),
       |s AS (SELECT doc_id, media_ref,
@@ -1216,13 +1226,19 @@ object Queries {
     * decoder='stub' or wrong counts). The float features (rms,
     * zero-crossings) stay test-covered — replaying the 64-bit LCG waveform
     * in SQL would be oracle theater, not verification. */
-  private val qAudioDecode: Q = (spark, sfDir) => {
+  /** q52's synthetic encoded WAV table (see [[mediaPayloads]]). */
+  def audioPayloads(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
     val refs = doc(spark, sfDir)
       .select(concat(lit("aud://"), col("doc_id").cast("string")).as("ref"),
         col("doc_id").cast("string").as("doc"))
       .as[(String, String)]
-    Multimodal.extractAudioFeatures(Multimodal.syntheticAudio(spark, refs)).toDF()
+    Multimodal.syntheticAudio(spark, refs)
+  }
+
+  /** q52's decode+projection stage over an already-encoded payload table. */
+  def audioDecodeFrom(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]): DataFrame =
+    Multimodal.extractAudioFeatures(media).toDF()
       .select(
         col("media_ref"),
         col("doc_id").cast("long").as("doc_id"),
@@ -1231,7 +1247,9 @@ object Queries {
         col("n_samples"),
         col("duration_ms"),
         col("n_bytes").as("wav_bytes"))
-  }
+
+  private val qAudioDecode: Q = (spark, sfDir) =>
+    audioDecodeFrom(audioPayloads(spark, sfDir))
   private val oAudioDecode =
     """WITH m AS (SELECT doc_id, 'aud://' || CAST(doc_id AS VARCHAR) AS media_ref FROM documents),
       |s AS (SELECT doc_id, media_ref,
@@ -1248,6 +1266,80 @@ object Queries {
       |  CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
       |  CAST(44 + n * 2 AS INTEGER) AS wav_bytes
       |FROM d""".stripMargin
+
+  /** IVF approximate-nearest-neighbor search ([[Ann]]) — the data-ADAPTIVE
+    * scale path beside q31's data-independent hyperplane LSH: a coarse
+    * quantizer (k=8 centroids, 2 fixed Lloyd steps) trained on the bounded
+    * vec_id<64 sample, map-side list assignment for the whole corpus, then
+    * each of the 10 query vectors probes its nprobe=2 nearest lists and
+    * ranks exact-cosine top-3 within them. Deterministic end to end
+    * (rounded distances/means, id tiebreaks); the oracle unrolls the
+    * identical Lloyd steps as SQL. */
+  private val qAnnIvf: Q = (spark, sfDir) => {
+    import spark.implicits._
+    val emb = tbl(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+    val sample = emb.filter(_._1 < 64).collect()
+      .map { case (id, v) => (id, v.toArray) }
+    val cents = Ann.trainIvfCentroids(sample, k = 8, iters = 2)
+    val queries = sample.filter(_._1 < 10)
+    Ann.ivfSearch(emb, queries, cents, nprobe = 2, topk = 3)
+  }
+  private val oAnnIvf = {
+    // 6-dp-rounded squared L2 — the argmin metric on both sides
+    def dist(v: String, c: String) =
+      s"round(list_sum(list_transform(range(1, len($v) + 1), i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), 6)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |samp AS (SELECT vec_id, v FROM e WHERE vec_id < 64),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, v AS c
+       |       FROM (SELECT vec_id, v FROM samp ORDER BY vec_id LIMIT 8)),
+       |a1 AS (SELECT vec_id, v, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ${dist("v", "c")} ASC, cid ASC) AS rn
+       |       FROM samp, c0),
+       |m1raw AS (SELECT cid, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM a1 WHERE rn = 1),
+       |m1 AS (SELECT cid, i, round(avg(x), 6) AS cv FROM m1raw GROUP BY cid, i),
+       |c1 AS (SELECT c0.cid, coalesce(g.c, c0.c) AS c
+       |       FROM c0 LEFT JOIN (SELECT cid, list(cv ORDER BY i) AS c FROM m1 GROUP BY cid) g USING (cid)),
+       |a2 AS (SELECT vec_id, v, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ${dist("v", "c")} ASC, cid ASC) AS rn
+       |       FROM samp, c1),
+       |m2raw AS (SELECT cid, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM a2 WHERE rn = 1),
+       |m2 AS (SELECT cid, i, round(avg(x), 6) AS cv FROM m2raw GROUP BY cid, i),
+       |c2 AS (SELECT c1.cid, coalesce(g.c, c1.c) AS c
+       |       FROM c1 LEFT JOIN (SELECT cid, list(cv ORDER BY i) AS c FROM m2 GROUP BY cid) g USING (cid)),
+       |lists AS (SELECT vec_id, v, cid FROM
+       |  (SELECT e.vec_id, e.v, c2.cid,
+       |     row_number() OVER (PARTITION BY e.vec_id ORDER BY ${dist("e.v", "c2.c")} ASC, c2.cid ASC) AS rn
+       |   FROM e, c2) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |probe AS (SELECT q_id, cid FROM
+       |  (SELECT q.q_id, c2.cid,
+       |     row_number() OVER (PARTITION BY q.q_id ORDER BY ${dist("q.qv", "c2.c")} ASC, c2.cid ASC) AS pr
+       |   FROM q, c2) WHERE pr <= 2),
+       |cand AS (SELECT q.q_id, q.qv, l.vec_id AS neighbor_id, l.v
+       |         FROM q JOIN probe USING (q_id) JOIN lists l ON probe.cid = l.cid
+       |         WHERE l.vec_id <> q.q_id),
+       |scored AS (SELECT q_id, neighbor_id,
+       |  round(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i])) /
+       |    (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+       |     sqrt(list_sum(list_transform(v, x -> x * x)))), 6) AS cosine
+       |  FROM cand)
+       |SELECT q_id, neighbor_id, cosine,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |FROM scored QUALIFY rank <= 3""".stripMargin
+  }
+
+  /** Bloom-prefiltered decontamination ([[TextOps.decontaminateBloom]]) —
+    * the eval-set-too-big-to-broadcast regime. Output is bit-identical to
+    * q49 (Bloom false positives die in the exact confirm join), so the
+    * oracle SQL is q49's verbatim; what changes is the scale shape: a
+    * compact Bloom broadcast + a confirm equi-join over only the
+    * Bloom-positive sliver, instead of an exact gram hash-set broadcast. */
+  private val qDecontaminateBloom: Q = (spark, sfDir) =>
+    TextOps.decontaminateBloom(
+      doc(spark, sfDir).select("doc_id", "text"),
+      doc(spark, sfDir).filter(col("doc_id") < 5).select("text"))
 
   // -------------------------------------------------------------------
 
@@ -1303,7 +1395,9 @@ object Queries {
     "q49_decontaminate" -> qDecontaminate,
     "q50_dedup_clusters" -> qDedupClusters,
     "q51_media_decode" -> qMediaDecode,
-    "q52_audio_decode" -> qAudioDecode
+    "q52_audio_decode" -> qAudioDecode,
+    "q53_ann_ivf" -> qAnnIvf,
+    "q54_decontaminate_bloom" -> qDecontaminateBloom
   )
 
   val oracles: Map[String, String] = Map(
@@ -1358,6 +1452,9 @@ object Queries {
     "q49_decontaminate" -> oDecontaminate,
     "q50_dedup_clusters" -> oDedupClusters,
     "q51_media_decode" -> oMediaDecode,
-    "q52_audio_decode" -> oAudioDecode
+    "q52_audio_decode" -> oAudioDecode,
+    "q53_ann_ivf" -> oAnnIvf,
+    // bit-identical to q49 by construction (exact confirm join) — same oracle
+    "q54_decontaminate_bloom" -> oDecontaminate
   )
 }

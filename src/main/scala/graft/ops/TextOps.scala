@@ -426,4 +426,77 @@ object TextOps {
         round(col("n_matched") / col("n_grams").cast("double"), 4).as("contam_frac"),
         (col("n_matched") > 0).as("contaminated"))
   }
+
+  /** Bloom-prefiltered decontamination — the shape for when the EVAL gram
+    * set is too big to broadcast exactly. [[decontaminate]] ships the full
+    * gram hash-set (fine for eval suites of thousands of docs); web-scale
+    * hygiene sweeps check a corpus against BILLIONS of grams (every eval
+    * suite + every held-out shard), where an exact string set is tens of
+    * GB but a 1%-fpp Bloom filter is ~1.2 bytes/gram.
+    *
+    * Three stages, all exact in the OUTPUT (bit-identical to
+    * [[decontaminate]] — Bloom false positives are removed by an exact
+    * confirm join, so approximation buys performance, never changes
+    * results):
+    *   1. benchmark grams -> distributed Bloom build
+    *      (`DataFrameStatFunctions.bloomFilter` — executor-side partial
+    *      sketches, driver merge) + one broadcast of the compact bits;
+    *   2. one corpus pass: shingle in-kernel, count grams, keep only the
+    *      Bloom-POSITIVE grams per doc (true matches + the fpp sliver);
+    *      the slim per-doc frame (id, n_grams, candidates) is
+    *      localCheckpoint'ed so the confirm stage re-reads it, never the
+    *      corpus (q44 precedent);
+    *   3. exact confirm: explode ONLY the candidates (at 1% fpp, ~1% of a
+    *      clean corpus's grams) into an equi-join against the benchmark
+    *      gram table — the shuffle the exact-broadcast path avoids is
+    *      affordable here precisely because the Bloom already discarded
+    *      ~99% of it; a map-side hash-set probe is impossible by premise.
+    *
+    * Same output contract as [[decontaminate]]:
+    * (doc_id, n_grams, n_matched, contam_frac, contaminated). */
+  def decontaminateBloom(corpus: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame, n: Int = 8,
+      fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val benchGrams = benchmark.select(col("text")).as[String]
+      .mapPartitions(_.flatMap(t => wordShinglesKernel(t, n).iterator))
+      .distinct()
+      .toDF("gram")
+      .localCheckpoint() // reused: bloom build + confirm join
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val bcBloom = spark.sparkContext.broadcast(bloom)
+    val perDoc = corpus
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val b = bcBloom.value
+        it.map { case (id, t) =>
+          val grams = wordShinglesKernel(t, n)
+          val cand = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < grams.length) {
+            if (b.mightContainString(grams(i))) cand += grams(i)
+            i += 1
+          }
+          (id, grams.length, cand.toSeq)
+        }
+      }
+      .toDF("doc_id", "n_grams", "candidates")
+      .localCheckpoint() // one corpus pass total: confirm re-reads this slim frame
+    val matched = perDoc
+      .select(col("doc_id"), explode(col("candidates")).as("gram"))
+      .join(benchGrams, Seq("gram")) // exact confirm: kills Bloom false positives
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+    perDoc
+      .drop("candidates")
+      .join(matched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        round(coalesce(col("n_matched"), lit(0L)) / col("n_grams").cast("double"), 4).as("contam_frac"),
+        (coalesce(col("n_matched"), lit(0L)) > 0).as("contaminated"))
+  }
 }
