@@ -258,6 +258,77 @@ object Bench {
     spark.conf.set("spark.sql.files.maxPartitionBytes", prevSplit)
     spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
 
+    // IVF ANN leg (r5): the similarity-search scale path measured against
+    // brute force at a size where probe pruning matters (the driver's
+    // embeddings table is 500 rows — query overhead, not scan cost). 1M
+    // deterministic 64-dim vectors in 32 separated clusters; the IVF index
+    // (train on a 1024-vector sample, assign, write partitionBy(list_id))
+    // is built UNTIMED — train once, write once, serve many searches. The
+    // timed comparison is per-search-batch cost for the same 8 queries:
+    //   brute: kernel cosine against ALL rows (one full scan)
+    //   ivf:   Ann.searchIvfIndex — partition-pruned scan, nprobe=2 of 32
+    // 3 alternating pairs, per-leg minima (skew_prune discipline).
+    // recall@3 vs brute is published alongside: a speedup bought with
+    // broken recall would be no win.
+    val annFlatDir = sustainedDir.stripSuffix("/") + "_annflat"
+    val annIdxDir = sustainedDir.stripSuffix("/") + "_annidx"
+    val annLeg = locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val nVec = 1000000 // ~500 MB of doubles: brute's full scan is decode-bound, not overhead-bound
+      val dim = 64
+      val kLists = 32
+      val centers = Array.tabulate(kLists) { c =>
+        val r = new java.util.Random(0xC0FFEE + c * 7919L)
+        Array.fill(dim)(r.nextGaussian() * 4.0)
+      }
+      def vecFor(id: Long): Array[Double] = {
+        val c = (id % kLists).toInt
+        val r = new java.util.Random(id * 2654435761L + 97531)
+        Array.tabulate(dim)(d => centers(c)(d) + r.nextGaussian() * 0.05)
+      }
+      spark.range(nVec).select(org.apache.spark.sql.functions.col("id"))
+        .repartition(cpus.toInt * 2)
+        .as[Long]
+        .map(id => (id, vecFor(id).toSeq))
+        .toDF("vec_id", "v")
+        .write.mode("overwrite").parquet(annFlatDir)
+      val flat = spark.read.parquet(annFlatDir)
+        .select(col("vec_id").cast("long"), col("v").cast("array<double>"))
+        .as[(Long, Seq[Double])]
+      // column predicate (not a typed lambda) so the sample scan prunes at
+      // the reader instead of deserializing all 1M rows
+      val sample = flat.filter(col("vec_id") < 1024).collect().map { case (id, v) => (id, v.toArray) }
+      val cents = graft.ops.Ann.trainIvfCentroids(sample, kLists, iters = 2)
+      graft.ops.Ann.writeIvfIndex(flat, cents, annIdxDir)
+      val queries = sample.filter(_._1 < 8).map { case (id, v) => (id, v) }
+      def bruteOnce(): (Double, Array[(Long, Long)]) = {
+        val t = System.nanoTime()
+        val rows = graft.ops.Ann.bruteSearch(flat, queries, topk = 3)
+          .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+        ((System.nanoTime() - t) / 1e9, rows)
+      }
+      def ivfOnce(): (Double, Array[(Long, Long)]) = {
+        val t = System.nanoTime()
+        val rows = graft.ops.Ann.searchIvfIndex(spark, annIdxDir, queries, cents, nprobe = 2, topk = 3)
+          .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+        ((System.nanoTime() - t) / 1e9, rows)
+      }
+      bruteOnce(); ivfOnce() // codegen/JIT warmup, both plan shapes
+      val pairs = (1 to 3).map { i =>
+        if (i % 2 == 1) { val b = bruteOnce(); val v = ivfOnce(); (b, v) }
+        else { val v = ivfOnce(); val b = bruteOnce(); (b, v) }
+      }
+      val bruteSec = pairs.map(_._1._1).min
+      val ivfSec = pairs.map(_._2._1).min
+      val bruteSet = pairs.head._1._2.toSet
+      val ivfSet = pairs.head._2._2.toSet
+      val recall = bruteSet.intersect(ivfSet).size.toDouble / bruteSet.size
+      s""""ann_ivf":{"n_vectors":$nVec,"k_lists":$kLists,"nprobe":2,"queries":${queries.length},""" +
+        s""""brute_sec":$bruteSec,"ivf_sec":$ivfSec,"speedup":${bruteSec / ivfSec},""" +
+        s""""recall_at3":$recall}"""
+    }
+
     // clean up the temp corpus — it leaked ~per-run disk otherwise (ADVICE r02)
     locally {
       import java.nio.file.{Files, Path, Paths}
@@ -282,6 +353,7 @@ object Bench {
       s""""skew_prune":{"raw_sec":$rawPruneSec,"managed_sec":$mgdPruneSec,"docs":$rawPruneDocs,""" +
       s""""managed_speedup":$pruneSpeedup,""" +
       s""""pair_ratios":${pairRatios.map(r => f"$r%.4f").mkString("[", ",", "]")}},""" +
+      annLeg + "," +
       s""""cpus":$cpus}""")
     spark.stop()
   }

@@ -41,6 +41,8 @@ object Ann {
     * centroids, every dim rounded to 6 dp per step. */
   def trainIvfCentroids(sample: Array[(Long, Array[Double])], k: Int, iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "IVF training sample is empty")
+    require(k >= 1, s"IVF needs at least one centroid, got k=$k")
+    require(iters >= 0, s"negative Lloyd iteration count: $iters")
     val sorted = sample.sortBy(_._1)
     val dim = sorted(0)._2.length
     require(sorted.forall(_._2.length == dim),
@@ -133,6 +135,83 @@ object Ann {
       val cs = bc.value
       it.map { case (id, v) => (id, assignList(v.toArray, cs), v) }
     }.toDF("vec_id", "list_id", "v")
+  }
+
+  /** Exact brute-force baseline: kernel cosine of every (bounded,
+    * broadcast) query against EVERY corpus vector, top-`topk` per query.
+    * One full corpus scan per search batch — the cost IVF's probe pruning
+    * avoids; also the recall oracle for the approximate paths. Same output
+    * contract as [[ivfSearch]]. */
+  def bruteSearch(emb: Dataset[(Long, Seq[Double])], queries: Array[(Long, Array[Double])],
+      topk: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bcQ = spark.sparkContext.broadcast(queries.sortBy(_._1))
+    val scored = emb.mapPartitions { it =>
+      val qs = bcQ.value
+      it.flatMap { case (nid, vSeq) =>
+        val v = vSeq.toArray
+        qs.iterator.flatMap { case (qid, qv) =>
+          if (nid != qid) Iterator.single((qid, nid, cosineKernel(qv, v)))
+          else Iterator.empty
+        }
+      }
+    }.toDF("q_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topk)
+  }
+
+  /** Write the IVF index at rest: the assigned corpus partitioned by
+    * `list_id`, so any probe prunes whole partitions at the parquet reader
+    * (PartitionFilters — asserted in AnnSpec). Train once, write once,
+    * serve many searches. */
+  def writeIvfIndex(emb: Dataset[(Long, Seq[Double])], cents: Array[Array[Double]],
+      dir: String, filesPerList: Int = 1): Unit =
+    ivfAssign(emb, cents)
+      // cluster rows by list BEFORE the partitioned write: without this,
+      // every input task writes a sliver into every list directory
+      // (tasks x k tiny files) and file-open overhead eats the pruning win
+      // at read time (measured: 2k-file index made probed reads SLOWER
+      // than brute force). filesPerList sizes write/read parallelism per
+      // list — 1 for bench-scale, cores/k or bytes-budgeted at cluster
+      // scale.
+      .repartition(cents.length * math.max(1, filesPerList),
+        col("list_id"), pmod(hash(col("vec_id")), lit(math.max(1, filesPerList))))
+      .write.partitionBy("list_id").mode("overwrite").parquet(dir)
+
+  /** Search an at-rest IVF index ([[writeIvfIndex]]): reads ONLY the union
+    * of the queries' probed partitions — at k lists and nprobe probes the
+    * scan touches ~|probed|/k of the corpus bytes, the IVF payoff the
+    * streaming [[ivfSearch]] can't give (it must at least read every row to
+    * assign it). Same output contract: (q_id, neighbor_id, cosine, rank). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: Array[(Long, Array[Double])], cents: Array[Array[Double]],
+      nprobe: Int, topk: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val probes: Array[(Long, Array[Double], Array[Int])] =
+      queries.sortBy(_._1).map { case (id, v) => (id, v, probeLists(v, cents, nprobe)) }
+    val probedUnion = probes.flatMap(_._3).distinct.sorted
+    val bcQ = spark.sparkContext.broadcast(probes)
+    val scored = spark.read.parquet(dir)
+      // partition-pruned scan: only probed lists are read at all
+      .filter(col("list_id").isin(probedUnion.map(Integer.valueOf).toSeq: _*))
+      .select(col("vec_id").cast("long"), col("list_id").cast("int"), col("v").cast("array<double>"))
+      .as[(Long, Int, Seq[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.flatMap { case (nid, list, vSeq) =>
+          val v = vSeq.toArray
+          qs.iterator.flatMap { case (qid, qv, qProbes) =>
+            if (nid != qid && java.util.Arrays.binarySearch(qProbes, list) >= 0)
+              Iterator.single((qid, nid, cosineKernel(qv, v)))
+            else Iterator.empty
+          }
+        }
+      }.toDF("q_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topk)
   }
 
   /** IVF search: every query probes its `nprobe` nearest lists and takes

@@ -102,7 +102,7 @@ class AnnSpec extends AnyFunSuite {
     val cents = Ann.trainIvfCentroids(vecs, k = 4, iters = 2)
     val emb = spark.createDataset(vecs.toSeq.map { case (id, v) => (id, v.toSeq) })
     val dir = java.nio.file.Files.createTempDirectory("ivf_rest").toString + "/lists.parquet"
-    Ann.ivfAssign(emb, cents).write.partitionBy("list_id").mode("overwrite").parquet(dir)
+    Ann.writeIvfIndex(emb, cents, dir)
     val probes = Ann.probeLists(vecs(1)._2, cents, 1).toSeq
     val probed = spark.read.parquet(dir).filter(col("list_id").isin(probes: _*))
     val scan = probed.queryExecution.executedPlan.toString
@@ -112,6 +112,29 @@ class AnnSpec extends AnyFunSuite {
     val got = probed.select("vec_id").as[Long].collect().toSet
     val expect = vecs.filter(v => probes.contains(Ann.assignList(v._2, cents))).map(_._1).toSet
     assert(got == expect, s"probed read must return exactly the probed list: $got vs $expect")
+    // the indexed search (partition-pruned scan) returns exactly what the
+    // streaming search computes over the full corpus
+    val queries = vecs.filter(_._1 < 3)
+    val indexed = Ann.searchIvfIndex(spark, dir, queries, cents, nprobe = 2, topk = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val streamed = Ann.ivfSearch(emb, queries, cents, nprobe = 2, topk = 3)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(indexed.toSeq == streamed.toSeq,
+      s"indexed vs streamed IVF search diverged:\n${indexed.toSeq}\n${streamed.toSeq}")
+  }
+
+  test("bruteSearch == ivfSearch probing ALL lists (exactness anchor)") {
+    import spark.implicits._
+    val vecs = clusteredVecs(40)
+    val cents = Ann.trainIvfCentroids(vecs, k = 4, iters = 2)
+    val emb = spark.createDataset(vecs.toSeq.map { case (id, v) => (id, v.toSeq) })
+    val queries = vecs.filter(_._1 < 3)
+    val brute = Ann.bruteSearch(emb, queries, topk = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val allProbes = Ann.ivfSearch(emb, queries, cents, nprobe = 4, topk = 5)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(brute.toSeq == allProbes.toSeq,
+      "probing every list must degrade IVF to exact brute force")
   }
 
   test("decontaminateBloom == decontaminate bit-identically, even at fpp=0.5") {
