@@ -219,7 +219,12 @@ object Bench {
     // codegen warmup, both plan shapes
     applyConf(rawBatch, rawSplit); rawLegDf().limit(1000).selectExpr("count(*)").collect()
     applyConf(mgdBatch, mgdSplit); mgdLegDf().limit(1000).selectExpr("count(*)").collect()
-    val pairRuns = (1 to 8).map { i =>
+    // 12 pairs (r5c, was 8): the per-leg-minima estimator needs BOTH legs
+    // to catch a quiet window at least once; a validation campaign of 8
+    // pairs in a busy window published 1.157 where three earlier runs of
+    // identical binaries gave 1.23-1.41 — ~25 s of extra reps buys the
+    // tail odds on the gate metric.
+    val pairRuns = (1 to 12).map { i =>
       // alternate leg order per pair: cancels any systematic order bias
       // (page-cache or GC state left by the first leg of a pair)
       if (i % 2 == 1) {
