@@ -266,7 +266,9 @@ object TableIO {
     // java.nio cannot stat the tree — returning the 1 MB clamp on a "0-byte"
     // corpus would be pathological, so keep Spark's 128 MB default instead
     // (a real deployment reads the size from the table's file index/stats)
-    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]*):".r.findFirstMatchIn(path).map(_.group(1))
+    // scheme must be >= 2 chars: a single letter before ':' is a Windows
+    // drive (C:\data), which is a local path, not a remote URI (ADVICE r05)
+    val scheme = "^([a-zA-Z][a-zA-Z0-9+.-]+):".r.findFirstMatchIn(path).map(_.group(1))
     if (scheme.exists(_ != "file")) return 128L << 20
     val p = java.nio.file.Paths.get(path.stripPrefix("file:"))
     val total =

@@ -112,6 +112,10 @@ object Ann {
   /** Cosine similarity rounded to 6 dp (dims summed ascending — the q30
     * convention the DuckDB oracle replays). */
   def cosineKernel(a: Array[Double], b: Array[Double]): Double = {
+    // mismatched dims must fail loudly, not silently score a truncated dot
+    // (ADVICE r05) — matches trainIvfCentroids' uniform-dims requirement
+    require(a.length == b.length,
+      s"cosineKernel dimension mismatch: ${a.length} vs ${b.length}")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < a.length && i < b.length) { dot += a(i) * b(i); i += 1 }

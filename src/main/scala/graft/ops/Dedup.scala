@@ -43,6 +43,13 @@ object Dedup {
         }
       })
       .toDF("doc_id", "band", "band_key")
+      // eager localCheckpoint (r6): banded feeds TWO exchanges keyed on
+      // (band, band_key) whose payloads differ (the hub side puts a partial
+      // agg BELOW its exchange), so exchange reuse never fires and the
+      // whole signature pass — the expensive step — ran twice. One
+      // materialization of the slim (doc_id, band, key) frame instead;
+      // corpus text is never duplicated.
+      .localCheckpoint()
     val hubs = banded.groupBy("band", "band_key").agg(min("doc_id").as("dst"))
     banded.join(hubs, Seq("band", "band_key"))
       .filter(col("doc_id") =!= col("dst"))
@@ -73,14 +80,30 @@ object Dedup {
     * decides convergence (the former eager-checkpoint + isEmpty pair paid
     * two jobs per round — half of q50's wall, VERDICT r04 #3). */
   def connectedComponentsWithStats(edges: DataFrame, maxIter: Int = 25): (DataFrame, CCStats) = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint() // reused every round: materialize once
+    // Checkpoint placement (r6, measured with a per-job listener): the
+    // EXPENSIVE subtree is the candidate-edge pipeline (the LSH signature
+    // pass), so that is the one frame checkpointed EAGERLY — exactly one
+    // materialization job, never raced. A lazy checkpoint here
+    // double-computed the signature pass: AQE materializes sibling query
+    // stages concurrently, and round 1's join has two independent stages
+    // (sym side and labels side) that both scan it. sym itself is now a
+    // plain UNION VIEW over the cached edge blocks — re-deriving it per
+    // consumer is a cheap block read, cheaper than a second materialized
+    // copy of the edge set. The former sym-level `.distinct()` is gone:
+    // `edges` is already distinct, a reversed edge cannot equal a forward
+    // one here (dst is the bucket MINIMUM, so dst < src on every edge), and
+    // every consumer is a min() aggregate, for which duplicate rows are
+    // harmless anyway. One shuffle + agg removed from the hot loop.
+    val edgesCk = edges.select(col("src"), col("dst")).localCheckpoint()
+    val sym = edgesCk
+      .union(edgesCk.select(col("dst").as("src"), col("src").as("dst")))
     // init at the neighborhood minimum (not self): a pure hub-star
     // component — the common LSH shape — is already correct at init, so the
     // loop only pays its no-change verification round; chained components
-    // still propagate normally from this (strictly tighter) starting point
+    // still propagate normally from this (strictly tighter) starting point.
+    // Eager too (cheap: one shuffle agg over the cached edges), because its
+    // two round-1 consumers are concurrent AQE stages — lazy would run the
+    // init agg twice.
     var labels = sym.groupBy(col("src").as("doc_id"))
       .agg(min("dst").as("mindst"))
       .select(col("doc_id"), least(col("doc_id"), col("mindst")).as("root"))

@@ -143,6 +143,12 @@ object Multimodal {
     * GIF, BMP, TIFF ship with the JDK — no external libraries). Converts to
     * a luma raster with BT.601 weights. None when no reader claims the
     * bytes or decoding fails. */
+  // ImageIO's default input-stream cache is a TEMP FILE created (and
+  // deleted) PER DECODE — pure filesystem overhead when the payload is
+  // already an in-memory byte array. One-time switch to the in-memory
+  // cache; decode results are identical (r6, measured hot in q51).
+  javax.imageio.ImageIO.setUseCache(false)
+
   def decodeImageIO(content: Array[Byte]): Option[Array[Array[Int]]] = {
     if (content == null || content.length < 8) return None
     try {
@@ -152,21 +158,32 @@ object Multimodal {
       if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
       val raster = Array.ofDim[Int](h, w)
       // single-band (grayscale) images: read raw samples — getRGB would
-      // route them through the gray->sRGB color transform and distort luma
+      // route them through the gray->sRGB color transform and distort luma.
+      // Bulk row reads (r6): getSamples/getRGB once per ROW, not per pixel —
+      // same sample/conversion path as the per-pixel calls, minus the
+      // per-call bounds/coordinate overhead.
       val grayBand = img.getColorModel.getNumColorComponents == 1
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          raster(y)(x) =
-            if (grayBand) img.getRaster.getSample(x, y, 0)
-            else {
-              val rgb = img.getRGB(x, y)
-              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            }
-          x += 1
+      if (grayBand) {
+        val srcRaster = img.getRaster
+        var y = 0
+        while (y < h) {
+          srcRaster.getSamples(0, y, w, 1, 0, raster(y))
+          y += 1
         }
-        y += 1
+      } else {
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            raster(y)(x) =
+              (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
       }
       Some(raster)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -212,9 +229,24 @@ object Multimodal {
   def frameSample(nBytes: Int, frameBytes: Int, everyK: Int): Seq[Int] =
     (0 until nBytes / math.max(1, frameBytes) by math.max(1, everyK)).map(_ * frameBytes)
 
+  // per-thread reusable digest (r6): getInstance is a provider lookup per
+  // call and this runs once per media row; digest() resets the instance
+  private val sha1Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-1")
+  }
+
   private def sha1Hex(bytes: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
-    d.map(b => f"$b%02x").mkString
+    val d = sha1Local.get().digest(bytes)
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hex.charAt((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex.charAt(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Feature extraction kernel: decode -> resize 8x8 -> mean/edge/pHash.

@@ -22,6 +22,18 @@ object Queries {
   private def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Read-parallelism guard for kernel-heavy map stages (r6, guide §2.5):
+    * a corpus that arrives as one sub-split-size parquet file plans a
+    * single scan task, serializing the expensive per-row kernel downstream
+    * on a many-core box. Spread rows round-robin ONLY when the input has
+    * fewer partitions than cores — at warehouse scale the file count
+    * already exceeds the core count and this is the identity. Apply AFTER
+    * any pushable filters so scan pruning is unaffected. */
+  private def spreadThin(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   // -------------------------------------------------------------------
   // Extraction engine queries. The kernel itself is not SQL-expressible,
   // so their oracles SELECT from a MATERIALIZED expected table computed by
@@ -53,11 +65,33 @@ object Queries {
 
   private val qExtractSkewAware: Q = (spark, sfDir) => {
     import spark.implicits._
-    val docs = graft.SparkEntry.rawDocs(spark, sfDir)
-    graft.pipeline.Extract.extractSkewAware(docs, skewSpanThreshold = 8 * graft.kernel.Parse.SpansPerPage)
+    // Materialize the GENERATED corpus once (r6): extractSkewAware's
+    // small/big split consumes its input twice (two size-filter branches).
+    // For a parquet input the second scan is a cheap pruned re-read, but
+    // q02's input is an expensive opaque generator (rawDocs maps every id
+    // through Fixtures.gen), so the split re-generated the whole corpus to
+    // find the giants. A lazy localCheckpoint computes gen once and both
+    // branches read the blocks — guide §5's reuse-not-recompute case; at
+    // cluster scale this is exactly "materialize the expensive input, then
+    // split", never a cache of results across runs.
+    val docs = graft.SparkEntry.rawDocs(spark, sfDir).localCheckpoint(eager = false)
+    // Same two legs as Extract.extractSkewAware (narrow kernel below the
+    // span threshold, page-split scatter/regather above it), but the slim
+    // 4-column projection is applied PER LEG, before the union (guide §2.3
+    // "project before the exchange"): a typed union of full DocResults
+    // serialized every page/table/image of every doc through the nested
+    // encoder only to be thrown away by this projection.
+    val thr = 8 * graft.kernel.Parse.SpansPerPage
+    val nSpans = coalesce(size(col("spans")), lit(0))
+    val small = docs.filter(nSpans <= thr)
+    val big = docs.filter(nSpans > thr)
+    def slim(ds: org.apache.spark.sql.Dataset[graft.model.DocResult]) = ds
       .filter(!_.quarantined)
       .map(r => (r.doc_id, r.spans.length, r.num_pages, r.text.length))
       .toDF("doc_id", "n_spans", "n_pages", "text_len")
+    slim(graft.pipeline.Extract.extract(small))
+      .unionByName(slim(graft.pipeline.Extract.pageSplitDocResults(
+        big, graft.model.ExtractConfig.default, 0)))
   }
 
   private val qAdaptiveEngines: Q = (spark, sfDir) => {
@@ -87,7 +121,12 @@ object Queries {
   /** The production contract pipeline (array-columnar fast path +
     * page-split leg): input table -> output span table. */
   private val qExtractContract: Q = (spark, sfDir) => {
-    val input = graft.SparkEntry.rawDocs(spark, sfDir).toDF()
+    // lazy localCheckpoint (r6, q02's fix): extractContract scans its input
+    // twice (small leg + giant leg) — cheap for a parquet table, but this
+    // input is the opaque generator, so the giant-finding scan re-generated
+    // the whole corpus. Lazy is safe here: the giant leg's exchange stage
+    // materializes the blocks before the final narrow stage reads them.
+    val input = graft.SparkEntry.rawDocs(spark, sfDir).toDF().localCheckpoint(eager = false)
     graft.pipeline.Extract.extractContract(input)
       .selectExpr("doc_id", "coalesce(size(spans), 0) AS n_spans", "num_pages", "quarantined")
   }
@@ -468,9 +507,18 @@ object Queries {
 
   private val qNgramJaccard: Q = (spark, sfDir) => {
     import spark.implicits._
-    val d = doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+    // localCheckpoint (r6): the self-join's two sides key on DIFFERENT
+    // expressions (doc_id+1 vs doc_id), so their exchanges never unify and
+    // the shingling mapPartitions subtree was evaluated twice — one full
+    // shingle pass per side. Materializing the slim (doc_id, shingles)
+    // frame once halves the shingle work; at scale this is the standard
+    // materialize-the-proxy-table step (guide §3.3), corpus bytes never
+    // duplicated. EAGER: the two join sides are concurrent AQE stages — a
+    // lazy checkpoint makes them race and compute the pass twice.
+    val d = spreadThin(doc(spark, sfDir).select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, TextOps.wordShinglesKernel(t, 3)) })
       .toDF("doc_id", "sh")
+      .localCheckpoint()
     val a = d.as("a"); val b = d.as("b")
     // equi-join on the shifted key, NO broadcast hint: both sides are
     // corpus-sized (a broadcast of every document's shingle array is a
@@ -499,7 +547,7 @@ object Queries {
     import spark.implicits._
     // kernel twin: identical md5 stream (hash32 of token#i), one digest per
     // (distinct token, i) in plain Scala instead of the nested HOF form
-    doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+    spreadThin(doc(spark, sfDir).select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val sig = TextOps.minhashSigKernel(t, 8)
         Iterator.tabulate(8)(i => (id, i, sig(i)))
@@ -523,7 +571,7 @@ object Queries {
     * bucket instead. */
   private val qMinhashLshBuckets: Q = (spark, sfDir) => {
     import spark.implicits._
-    doc(spark, sfDir).select(col("doc_id"), col("text")).as[(Long, String)]
+    spreadThin(doc(spark, sfDir).select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         val sig = TextOps.minhashSigKernel(t, 8)
         Iterator.tabulate(4)(b => (id, b, TextOps.md5Hex(sig(2 * b) + "," + sig(2 * b + 1))))
@@ -566,20 +614,44 @@ object Queries {
   // Training-data operators: similarity search over embeddings
   // -------------------------------------------------------------------
 
-  /** Brute-force cosine top-5 for the first 10 query vectors. */
+  /** Brute-force cosine top-5 for the first 10 query vectors.
+    * r6: the bounded probe side (10 vectors) ships as an explicit broadcast
+    * probed by a kernel inside the corpus mapPartitions (q34's shape) —
+    * same left-to-right FP summation and Spark HALF_UP rounding as the
+    * former zip_with/aggregate HOF cross-join, which paid a per-pair
+    * expression-tree walk plus the 10x row duplication of the cross join.
+    * The probe filter stays a column predicate so it prunes at the reader. */
   private val qCosineTopK: Q = (spark, sfDir) => {
+    import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val emb = tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val dot = aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-    val nq = sqrt(aggregate(col("qv"), lit(0.0), (a, x) => a + x * x))
-    val nv = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
-    val scored = q.crossJoin(emb)
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        round(dot / (nq * nv), 6).as("cosine"))
+      .as[(Long, Seq[Double])]
+    val probes = emb.filter(col("vec_id") < 10).collect()
+      .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(probes)
+    val scored = emb.mapPartitions { it =>
+      val qs = bc.value
+      it.flatMap { case (nid, vSeq) =>
+        val v = vSeq.toArray
+        var nv = 0.0
+        var i = 0
+        while (i < v.length) { nv += v(i) * v(i); i += 1 }
+        val nvRoot = math.sqrt(nv)
+        qs.iterator.flatMap { case (qid, qv) =>
+          if (qid == nid) Iterator.empty
+          else {
+            var dot = 0.0
+            var nq = 0.0
+            var j = 0
+            while (j < qv.length && j < v.length) { dot += qv(j) * v(j); j += 1 }
+            j = 0
+            while (j < qv.length) { nq += qv(j) * qv(j); j += 1 }
+            Iterator.single((qid, nid, TextOps.round6Kernel(dot / (math.sqrt(nq) * nvRoot))))
+          }
+        }
+      }
+    }.toDF("q_id", "neighbor_id", "cosine")
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
   }
@@ -732,19 +804,21 @@ object Queries {
       |FROM documents""".stripMargin
 
   /** Typed bbox-union Aggregator (graft.functions.BBoxUnionAgg) — the
-    * reference's calculate_bbox as a distributed agg with partial combine. */
+    * reference's calculate_bbox as a distributed agg with partial combine.
+    * r6: the SAME Aggregator now runs as a registered UDAF over a relational
+    * groupBy instead of groupByKey/mapValues — partial Box buffers (4
+    * doubles) cross the exchange instead of every (key, bbox-array) row
+    * through the tuple encoder, and the group-walk is a hash aggregate
+    * rather than a sort-based mapGroups. Identical reduce/merge/finish code
+    * path, identical results. */
   private val qBBoxUnionTyped: Q = (spark, sfDir) => {
-    import spark.implicits._
-    val boxes = tbl(spark, sfDir, "lineitem")
+    val agg = udaf(new graft.functions.BBoxUnionAgg())
+    tbl(spark, sfDir, "lineitem")
       .select(col("l_orderkey"),
         array((col("l_partkey") % 800).cast("double"), (col("l_suppkey") % 600).cast("double"),
           (col("l_partkey") % 800).cast("double") + 10.0, (col("l_suppkey") % 600).cast("double") + 18.0).as("bbox"))
-      .as[(Long, Seq[Double])]
-    val agg = new graft.functions.BBoxUnionAgg().toColumn
-    boxes.groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg.name("box"))
-      .toDF("l_orderkey", "box")
+      .groupBy("l_orderkey")
+      .agg(agg(col("bbox")).as("box"))
       .select(col("l_orderkey"), col("box.x0").as("bx0"), col("box.top").as("by0"),
         col("box.x1").as("bx1"), col("box.bottom").as("by1"))
   }
@@ -919,41 +993,43 @@ object Queries {
     * same DuckDB oracle stays the gate. */
   private val qLengthQuartiles: Q = (spark, sfDir) => {
     import org.apache.spark.sql.expressions.Window
-    val base = doc(spark, sfDir).select(col("lang"), col("n_chars"), col("doc_id"))
-    // localCheckpoint MATERIALIZES the range partitioning once: both
-    // consumers below (offset counting and local ranking) read the same
-    // physical partitions, so `pid` agreement is guaranteed rather than
-    // relying on RangePartitioner's sampling being deterministic across two
-    // evaluations of the subtree (VERDICT r03 #4 / ADVICE r03). One extra
-    // serialization of the (lang, n_chars, doc_id) projection — 3 narrow
-    // columns — in exchange for eliminating the correctness coupling; at
-    // cluster scale this is a checkpoint of the projected keys, not the
-    // corpus.
-    val ranged = base
-      .repartitionByRange(32, col("lang"), col("n_chars"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    // tiny: (langs x partitions) rows
-    val wOff = Window.partitionBy("lang").orderBy("pid")
-    val offsets = ranged.groupBy("lang", "pid").agg(count(lit(1)).as("pcnt"))
-      .withColumn("off",
-        coalesce(sum("pcnt").over(wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("n", sum("pcnt").over(Window.partitionBy("lang")))
-      .select("lang", "pid", "off", "n")
-    val wLocal = Window.partitionBy("lang", "pid").orderBy(col("n_chars").asc, col("doc_id").asc)
-    val ranked = ranged
-      .join(broadcast(offsets), Seq("lang", "pid"))
-      .withColumn("r", row_number().over(wLocal).cast("long") + col("off"))
-    // ntile(4): base = n div 4, first (n % 4) buckets take base+1 rows
-    val nb = expr("n div 4")
+    // r6 rewrite: the query's OUTPUT is a per-(lang, quartile) SUMMARY, so
+    // per-document ranks are never needed — the whole answer is a function
+    // of the per-(lang, n_chars) count distribution. One map-side-combined
+    // groupBy collapses the corpus to (lang, n_chars, c) — cardinality
+    // bounded by distinct lengths per language, NOT corpus size — then a
+    // cumulative window over that tiny frame places each length's rank
+    // range (prev, cum], and ntile arithmetic (first n%4 buckets take
+    // base+1 rows) turns rank-range overlap into exact per-quartile doc
+    // counts and min/max lengths. Identical values to ntile(4): the doc_id
+    // tiebreak only permutes ranks WITHIN one (lang, n_chars) run, which
+    // cannot move counts or min/max across a boundary. Replaces the former
+    // two-pass range-repartition + localCheckpoint + broadcast-offsets plan
+    // (3 jobs, a corpus checkpoint, a corpus-wide sort) with one job and
+    // shuffles bounded by the length distribution.
+    val counts = doc(spark, sfDir)
+      .groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dist = counts
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      .withColumn("prev", col("cum") - col("c"))
+    val base4 = expr("n div 4")
     val rem = col("n") % 4
-    val thr = (nb + 1) * rem
-    val quartile = when(col("r") <= thr, ceil(col("r") / (nb + 1)))
-      .otherwise(rem + ceil((col("r") - thr) / greatest(nb, lit(1L))))
-    ranked
-      .withColumn("quartile", quartile.cast("int"))
-      .groupBy("lang", "quartile")
-      .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+    val q = col("q").cast("long")
+    // cumulative bucket-size boundaries: quartile q covers ranks (lo-1, hi]
+    val hi = q * base4 + least(q, rem)
+    val lo1 = (q - 1) * base4 + least(q - 1, rem) // = lo - 1
+    val contrib = least(col("cum"), hi) - greatest(col("prev"), lo1)
+    dist
+      .select(col("lang"), col("n_chars"), col("cum"), col("prev"), col("n"),
+        explode(sequence(lit(1), lit(4))).as("q"))
+      .withColumn("contrib", contrib)
+      .filter(col("contrib") > 0)
+      .groupBy(col("lang"), col("q").cast("int").as("quartile"))
+      .agg(sum("contrib").as("n_docs"), min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
   }
   private val oLengthQuartiles =
     """WITH q AS (SELECT lang, n_chars, doc_id,
@@ -1088,6 +1164,9 @@ object Queries {
     * `spark.read.parquet(evalPath)`; the earlier form derived bench grams
     * by re-exploding the ENTIRE corpus and filtering after the opaque
     * mapPartitions (no pushdown), so this is also a plan fix. */
+  // no spreadThin on the decontamination corpus (r6, measured): the
+  // shingle+probe kernel is a single narrow stage and cheap per row — the
+  // repartition's extra exchange/AQE stage cost more than the serial pass
   private val qDecontaminate: Q = (spark, sfDir) =>
     TextOps.decontaminate(
       doc(spark, sfDir).select("doc_id", "text"),
@@ -1126,7 +1205,7 @@ object Queries {
         concat(col("text"), lit(" dupa")).as("text")))
       .unionByName(dups.select((col("doc_id") + 2000000L).as("doc_id"),
         concat(col("text"), lit(" dupa dupb")).as("text")))
-    Dedup.dedupClusters(corpus)
+    Dedup.dedupClusters(spreadThin(corpus))
   }
   private val oDedupClusters = {
     val hashes = (0 until 8).map { i =>
@@ -1178,9 +1257,12 @@ object Queries {
     * interesting cost is DECODE, sustained-corpus precedent). */
   def mediaPayloads(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
-    val refs = doc(spark, sfDir)
+    // spreadThin: the encode kernel downstream is the expensive step, and
+    // the payload table Bench materializes inherits this partitioning —
+    // one file would serialize the timed decode scan too
+    val refs = spreadThin(doc(spark, sfDir)
       .select(concat(lit("img://"), col("doc_id").cast("string")).as("ref"),
-        col("doc_id").cast("string").as("doc"))
+        col("doc_id").cast("string").as("doc")))
       .as[(String, String)]
     Multimodal.syntheticMedia(spark, refs)
   }
@@ -1229,6 +1311,9 @@ object Queries {
   /** q52's synthetic encoded WAV table (see [[mediaPayloads]]). */
   def audioPayloads(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import spark.implicits._
+    // no spreadThin here (r6, measured): WAV encode/decode is cheap per row
+    // — spreading produced 32 tiny payload files whose scan overhead cost
+    // more than the serial pass saved (unlike q51's image codecs)
     val refs = doc(spark, sfDir)
       .select(concat(lit("aud://"), col("doc_id").cast("string")).as("ref"),
         col("doc_id").cast("string").as("doc"))
@@ -1280,7 +1365,9 @@ object Queries {
     val emb = tbl(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Seq[Double])]
-    val sample = emb.filter(_._1 < 64).collect()
+    // column predicate (ADVICE r05): prunes at the parquet reader instead of
+    // deserializing every corpus row through the encoder before filtering
+    val sample = emb.filter(col("vec_id") < 64).as[(Long, Seq[Double])].collect()
       .map { case (id, v) => (id, v.toArray) }
     val cents = Ann.trainIvfCentroids(sample, k = 8, iters = 2)
     val queries = sample.filter(_._1 < 10)

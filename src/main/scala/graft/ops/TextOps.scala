@@ -137,23 +137,59 @@ object TextOps {
     out
   }
 
+  /** Per-thread reusable MD5 instance (r6): `MessageDigest.getInstance`
+    * does a provider lookup + object allocation per call, and the minhash
+    * kernels call it k times PER SHINGLE — the single hottest allocation in
+    * q27/q28/q50. `digest()` resets the instance, so reuse is safe. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** JVM twin of [[fingerprint]]: full 128-bit md5 hex of the whitespace-
     * normalized, lowercased text. Use THIS (not [[hash32Kernel]]) as a dedup
     * key: a 32-bit key collides past ~2^16 distinct documents (birthday
     * bound) and silently drops distinct content (ADVICE r02). */
   def fingerprintKernel(text: String): String = {
     val norm = if (text == null) "" else text.trim.toLowerCase.replaceAll("\\s+", " ")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+    toHex(md5Local.get().digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** JVM twin of [[hash32]]: first 8 hex chars of md5 as a long — identical
     * to Spark's md5 (both hash UTF-8 bytes). */
   def hash32Kernel(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md5Local.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // first 4 bytes = first 8 hex chars
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** hash32 of (token UTF-8 bytes) ++ ("#i" ASCII bytes) — identical digest
+    * stream to `hash32Kernel(token + "#" + i)` (UTF-8 of a concatenation is
+    * the concatenation of the UTF-8 encodings), without re-encoding the
+    * token once per hash function: the minhash kernels encode each
+    * token/shingle ONCE and reuse the bytes across all k digests. */
+  private val HashSuffixes: Array[Array[Byte]] =
+    Array.tabulate(16)(i => ("#" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def hash32Suffixed(tokenBytes: Array[Byte], i: Int): Long = {
+    val md = md5Local.get()
+    md.update(tokenBytes)
+    md.update(if (i < HashSuffixes.length) HashSuffixes(i)
+      else ("#" + i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md.digest()
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
@@ -263,10 +299,10 @@ object TextOps {
     val sig = Array.fill(k)(Long.MaxValue)
     val it = distinct.iterator()
     while (it.hasNext) {
-      val w = it.next()
+      val wb = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var i = 0
       while (i < k) {
-        val h = hash32Kernel(w + "#" + i)
+        val h = hash32Suffixed(wb, i)
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -276,9 +312,7 @@ object TextOps {
 
   /** Full md5 hex (JVM twin of Spark's md5() over a UTF-8 string). */
   def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+    toHex(md5Local.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
 
   /** Kernel twin of [[langId]] + [[stopwordHits]] in one pass:
     * (lang_guess, stop_hits). CJK range is BMP, so char-level counting
@@ -325,9 +359,10 @@ object TextOps {
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
+      val sb = sh(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var j = 0
       while (j < k) {
-        val h = hash32Kernel(sh(i) + "#" + j)
+        val h = hash32Suffixed(sb, j)
         if (h < sig(j)) sig(j) = h
         j += 1
       }
@@ -463,7 +498,9 @@ object TextOps {
       .mapPartitions(_.flatMap(t => wordShinglesKernel(t, n).iterator))
       .distinct()
       .toDF("gram")
-      .localCheckpoint() // reused: bloom build + confirm join
+      .localCheckpoint(eager = false) // reused: bloom build + confirm join
+    // single action materializes the lazy checkpoint AND yields the count
+    // the Bloom sizing needs (q50's one-action-per-step discipline, r6)
     val expected = math.max(benchGrams.count(), 1L)
     val bloom = benchGrams.stat.bloomFilter("gram", expected, fpp)
     val bcBloom = spark.sparkContext.broadcast(bloom)
@@ -483,7 +520,12 @@ object TextOps {
         }
       }
       .toDF("doc_id", "n_grams", "candidates")
-      .localCheckpoint() // one corpus pass total: confirm re-reads this slim frame
+      // one corpus pass total: the confirm stage re-reads this slim frame.
+      // EAGER deliberately (r6): the two consumers (matched agg, final left
+      // join) are sibling AQE stages materialized CONCURRENTLY — a lazy
+      // checkpoint made both race to compute it and the corpus pass ran
+      // twice in parallel (measured regression). One dedicated job, once.
+      .localCheckpoint()
     val matched = perDoc
       .select(col("doc_id"), explode(col("candidates")).as("gram"))
       .join(benchGrams, Seq("gram")) // exact confirm: kills Bloom false positives

@@ -135,8 +135,11 @@ object Extract {
       }
   }
 
-  /** Page-split leg emitting full results. */
-  private def pageSplitDocResults(big: Dataset[RawDoc], cfg: ExtractConfig,
+  /** Page-split leg emitting full results. (private[graft] since r6: q02
+    * composes it directly so the slim projection happens BEFORE the union —
+    * a typed union of full DocResults forces every row through the fat
+    * nested encoder just to be projected down to four fields afterwards.) */
+  private[graft] def pageSplitDocResults(big: Dataset[RawDoc], cfg: ExtractConfig,
       pageParallelism: Int): Dataset[DocResult] = {
     val spark = big.sparkSession
     import spark.implicits._
