@@ -43,15 +43,18 @@ object Dedup {
         }
       })
       .toDF("doc_id", "band", "band_key")
-      // eager localCheckpoint (r6): banded feeds TWO exchanges keyed on
-      // (band, band_key) whose payloads differ (the hub side puts a partial
-      // agg BELOW its exchange), so exchange reuse never fires and the
-      // whole signature pass — the expensive step — ran twice. One
-      // materialization of the slim (doc_id, band, key) frame instead;
-      // corpus text is never duplicated.
-      .localCheckpoint()
-    val hubs = banded.groupBy("band", "band_key").agg(min("doc_id").as("dst"))
-    banded.join(hubs, Seq("band", "band_key"))
+    // Hub derivation as a WINDOW min over the bucket partition (r6): the
+    // former groupBy-hubs + equi-join consumed `banded` through TWO
+    // exchanges keyed on (band, band_key) whose payloads differ (partial
+    // agg below one), so exchange reuse never fired and the signature pass
+    // — the expensive step — ran twice. min() OVER (PARTITION BY band,
+    // band_key) produces the identical (src, dst) rows from ONE exchange
+    // and one pass, with the same per-bucket skew profile the join had
+    // (either way a bucket's rows meet on one reducer). Star-edge shape
+    // unchanged: a bucket of m docs still costs m-1 edges, never pairs.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    banded
+      .withColumn("dst", min("doc_id").over(w))
       .filter(col("doc_id") =!= col("dst"))
       .select(col("doc_id").as("src"), col("dst"))
       .distinct()
@@ -111,7 +114,11 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // candidate label per node: min over neighbours' current roots
+      // candidate label per node: min over neighbours' current roots.
+      // (A union+single-groupBy fusion of cand and the reattach join was
+      // tried in r6 and measured SLOWER: both label frames are tiny, AQE
+      // broadcasts the reattach join for free, while the fused form forces
+      // a full exchange of the unioned contributions.)
       val cand = sym
         .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("root", "nroot"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))

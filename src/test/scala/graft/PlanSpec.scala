@@ -202,11 +202,11 @@ class PlanSpec extends AnyFunSuite {
     val plan = edges.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "candidate edges must never cross-join")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "candidate edges must never nested-loop")
-    // star-edge shape: ONE aggregation derives the bucket hubs, then an
-    // equi-join on (band, band_key) — a bucket of m docs costs m-1 edge
-    // rows, never the m^2/2 pair explosion
-    assert("HashAggregate".r.findAllIn(plan).length >= 2, "hub derivation must be a partial+final agg")
-    assert(plan.contains("band_key"), "join must key on the LSH band hash")
+    // star-edge shape (r6): bucket hubs come from ONE window min over the
+    // (band, band_key) partition — no second exchange, no hub join; a
+    // bucket of m docs still costs m-1 edge rows, never the m^2/2 pairs
+    assert(plan.contains("Window"), "hub derivation must be the single-pass window min")
+    assert(plan.contains("band_key"), "hub window must key on the LSH band hash")
   }
 
   test("qualityScore kernel twin agrees with the Column form (corpus + edges)") {
