@@ -27,18 +27,18 @@ object PlanDump extends App {
     ("Fast-path inner plan (`Extract.extractSpansRows` input query)",
      "The scan the ExistingRDD leaf wraps: doc_id + spans only (pruned ReadSchema), whole-stage codegen to the kernel boundary, zero shuffle.",
      spark.read.parquet(corpusPath).select(col("doc_id").cast("string").as("doc_id"), col("spans"))),
-    ("q44 per-language quartiles (scale-safe two-pass ranking)",
-     "VERDICT r02 fix: no Window over a whole language stratum. Range-repartition on the total order, tiny per-(lang,partition) count table with running offsets (broadcast back), per-partition row_number + offset = exact global rank, ntile arithmetic from the rank. The widest sort any task performs is ONE range partition's slice. r4 (VERDICT r03 #4): the range partitioning is localCheckpoint'ed, so BOTH consumers read the same materialized `Scan ExistingRDD[lang,n_chars,doc_id,pid]` — no rangepartitioning Exchange appears anywhere in the plan, and pid consistency is physical, not a sampler-determinism assumption.",
+    ("q44 per-language quartiles (distribution-based exact ntile, r6)",
+     "No per-document ranks at all: one map-side-combined groupBy collapses the corpus to the per-(lang, n_chars) count distribution — cardinality bounded by distinct lengths per language, not corpus size — then a cumulative window over that tiny frame places each length's rank range and ntile arithmetic (first n%4 buckets take base+1 rows) turns rank-range overlap into exact per-quartile counts and min/max. Values identical to ntile(4): the doc_id tiebreak only permutes ranks WITHIN one (lang, n_chars) run, which cannot move counts or min/max across a quartile boundary. Replaces r2-r5's two-pass range-repartition + localCheckpoint + broadcast-offsets plan (3 jobs, a corpus-wide sort) with one job; still no task ever sorts a language stratum.",
      ops.Queries.all("q44_length_quartiles")(spark, sf)),
     ("q16 aggregation", "Pruned ReadSchema (4 columns of lineitem), partial+final HashAggregate.",
      ops.Queries.all("q16_agg_pushdown")(spark, sf)),
     ("q17 star join", "Both dimension sides broadcast; no sort-merge join, no large-side shuffle.",
      ops.Queries.all("q17_broadcast_join")(spark, sf)),
-    ("q30 cosine top-k", "vec_id < 10 pushed into the parquet scan; window ranks only the scored candidates.",
+    ("q30 cosine top-k (r6 kernel probe broadcast)", "The bounded probe side (10 vectors) is collected through a COLUMN-pushed vec_id filter and broadcast into the corpus mapPartitions (q34's shape) — no cross join, no per-pair HOF expression walk; the window ranks only the scored candidates. Same left-to-right FP summation and Spark HALF_UP rounding as the former zip_with/aggregate form (oracle-identical).",
      ops.Queries.all("q30_cosine_topk")(spark, sf)),
     ("q37 salted aggregation", "Two HashAggregate pairs: 16-way salted shuffle then tiny re-aggregation — the hot-key shape.",
      ops.Queries.all("q37_salted_agg")(spark, sf)),
-    ("q26 n-gram Jaccard join", "Equi-join on the shifted doc_id with NO broadcast hint (VERDICT r01: hinted broadcast of a corpus-sized side is a 100 TB OOM) — the planner/AQE picks from stats; at scale this is a shuffle join on the key.",
+    ("q26 n-gram Jaccard join", "Equi-join on the shifted doc_id with NO broadcast hint (VERDICT r01: hinted broadcast of a corpus-sized side is a 100 TB OOM) — the planner/AQE picks from stats; at scale this is a shuffle join on the key. r6: the shingled proxy table is localCheckpoint'ed once (the two join sides key on different expressions, so their exchanges can never unify and the shingle pass used to run per side).",
      ops.Queries.all("q26_ngram_jaccard")(spark, sf)),
     ("q31 ANN LSH buckets", "Hyperplane sign weights are array LITERALS (precomputed once; previously an md5 per plane x dim x row) — the scan feeds a pure projection + hash aggregate.",
      ops.Queries.all("q31_ann_lsh_buckets")(spark, sf)),
