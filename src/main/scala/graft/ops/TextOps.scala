@@ -35,14 +35,20 @@ object TextOps {
 
   /** Newline-preserving whitespace normalization — the engine's cleaning
     * operator as a Catalyst expression (kernel twin:
-    * TextClean.cleanLinePreserving; reference text_processor.py:60-68). */
-  def cleanLines(text: Column): Column = {
-    // per line: trim + collapse inner whitespace; newlines preserved
-    array_join(
-      transform(split(text, "\n", -1),
-        l => regexp_replace(trim(l), "\\s+", " ")),
-      "\n")
-  }
+    * TextClean.cleanLinePreserving; reference text_processor.py:60-68).
+    *
+    * r6 form: two whole-string regex passes instead of
+    * split/transform/array_join — the per-line lambda paid a regex
+    * invocation plus an array element per line and materialized the line
+    * array twice (split + join). Equivalence to `trim(l)` +
+    * `regexp_replace(l, "\\s+", " ")` per line:
+    *   - Spark's `trim` strips SPACES only; `(?dm)^ +| +$` strips exactly
+    *     those at `\n`-line boundaries (UNIX_LINES `d` keeps `\r`/U+2028
+    *     from acting as terminators, matching `split(text, "\n")`);
+    *   - `[\s&&[^\n]]+` -> " " collapses the remaining whitespace runs,
+    *     which can never span a `\n`, exactly like the per-line "\\s+". */
+  def cleanLines(text: Column): Column =
+    regexp_replace(regexp_replace(text, "(?dm)^ +| +$", ""), "[\\s&&[^\\n]]+", " ")
 
   private val EnStopwords = Seq("the", "and", "of", "to", "a", "in", "is", "for")
 

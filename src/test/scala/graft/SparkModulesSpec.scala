@@ -125,6 +125,25 @@ class PipelineSparkSpec extends AnyFunSuite {
     }
   }
 
+  test("cleanLines two-regex form == per-line trim+collapse (r6 rewrite equivalence)") {
+    import spark.implicits._
+    // the pre-r6 expression, kept here as the semantic reference: per
+    // \n-line, Spark trim (spaces only) then \s+ -> " " collapse
+    def reference(c: org.apache.spark.sql.Column) =
+      array_join(transform(split(c, "\n", -1), l => regexp_replace(trim(l), "\\s+", " ")), "\n")
+    val adversarial = Seq(
+      "", " ", "  a  b  ", "a\nb", "a\n\nb", "\na", "a\n", "a\n   \nb",
+      "a \t\n\tb", "\t a", " \ta ", "  \t a", "a \t", "xy", "x\fy",
+      "x\ry", "x\r\ny", "xy", "x y", "a  b\tc d\n \f e",
+      "\n\n", " \n \n ", "multi  word   line\nsecond\t\tline\n\tthird ")
+    val df = adversarial.toDF("t")
+      .select(col("t"), graft.ops.TextOps.cleanLines(col("t")).as("got"), reference(col("t")).as("want"))
+    val rows = df.as[(String, String, String)].collect()
+    rows.foreach { case (t, got, want) =>
+      assert(got == want, s"cleanLines diverged on ${t.map(ch => f"\\u${ch.toInt}%04x").mkString}")
+    }
+  }
+
   test("metrics accumulators count docs/pages/spans/quarantine") {
     import spark.implicits._
     val m = new graft.metrics.ExtractMetrics(spark)
